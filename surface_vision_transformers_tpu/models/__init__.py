@@ -1,0 +1,21 @@
+from surface_vision_transformers_tpu.models.sit import (
+    Attention,
+    Encoder,
+    FeedForward,
+    SiT,
+)
+from surface_vision_transformers_tpu.models.mpp import (
+    MPP,
+    corrupt_sequence,
+    exact_count_mask,
+)
+
+__all__ = [
+    "Attention",
+    "Encoder",
+    "FeedForward",
+    "MPP",
+    "SiT",
+    "corrupt_sequence",
+    "exact_count_mask",
+]

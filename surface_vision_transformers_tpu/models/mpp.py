@@ -1,0 +1,175 @@
+"""Masked-patch pretraining (MPP), stateless-PRNG on-device corruption.
+
+Capability match with the reference MPP head (reference: models/mpp.py:46-134):
+BERT-style corruption of the patch-token sequence — exactly ceil(mask_prob*L)
+tokens selected per sample via rand+topk (reference: models/mpp.py:25-39), of
+which a subset is swapped with random other patches (swap rate
+swap_prob/(1-replace_prob), reference: models/mpp.py:90-107) and a
+replace_prob fraction is replaced with a learned mask token (reference:
+models/mpp.py:109-112) — then the shared SiT embedding+encoder runs on the
+corrupted sequence and a linear head reconstructs the original patches, with
+MSE on masked positions only (reference: models/mpp.py:132).
+
+Differences by design:
+  * corruption is a pure function of a JAX PRNG key (traceable, shardable,
+    reproducible) instead of stateful torch RNG; distributions match.
+  * the reconstruction head and mask token ARE optimized by default — the
+    reference's optimizer silently skips them (reference:
+    tools/pretrain.py:269-280 optimizes model.parameters() only); set
+    ``MPPConfig.optimize_decoder=False`` to reproduce that quirk.
+  * because the masked count is exact per sample, the masked-MSE denominator
+    is static — no dynamic shapes under jit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surface_vision_transformers_tpu.models.sit import (
+    SiT,
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
+from surface_vision_transformers_tpu.ops import patchify, rearrange_patched
+
+
+def exact_count_mask(key: jax.Array, batch: int, seq_len: int, prob: float):
+    """Boolean (batch, seq_len) mask with exactly ceil(prob*seq_len) True per
+    row, positions chosen uniformly (rand + top-k, matching reference
+    models/mpp.py:25-39)."""
+    n_masked = math.ceil(prob * seq_len)
+    rand = jax.random.uniform(key, (batch, seq_len))
+    _, idx = jax.lax.top_k(rand, n_masked)
+    mask = jnp.zeros((batch, seq_len), bool)
+    return mask.at[jnp.arange(batch)[:, None], idx].set(True), n_masked
+
+
+def corrupt_sequence(
+    key: jax.Array,
+    tokens: jax.Array,
+    mask_token: jax.Array,
+    *,
+    mask_prob: float,
+    replace_prob: float,
+    swap_prob: float,
+):
+    """Corrupt a (B, L, D) patch-token sequence.
+
+    Returns (corrupted (B, L, D), mask (B, L) bool, n_masked int).
+    """
+    B, L, _ = tokens.shape
+    k_mask, k_swapsel, k_swapidx, k_repl = jax.random.split(key, 4)
+
+    mask, n_masked = exact_count_mask(k_mask, B, L, mask_prob)
+    corrupted = tokens
+
+    if swap_prob > 0:
+        swap_rate = swap_prob / (1.0 - replace_prob)
+        swap_sel = jax.random.uniform(k_swapsel, (B, L)) < swap_rate
+        swap_sel = jnp.logical_and(mask, swap_sel)
+        rand_idx = jax.random.randint(k_swapidx, (B, L), 0, L)
+        swapped = jnp.take_along_axis(corrupted, rand_idx[:, :, None], axis=1)
+        corrupted = jnp.where(swap_sel[:, :, None], swapped, corrupted)
+
+    repl_sel = jax.random.uniform(k_repl, (B, L)) < replace_prob
+    repl_sel = jnp.logical_and(mask, repl_sel)
+    corrupted = jnp.where(
+        repl_sel[:, :, None], mask_token.astype(corrupted.dtype), corrupted
+    )
+    return corrupted, mask, n_masked
+
+
+class MPP(nn.Module):
+    """MPP wrapper around a (shared) SiT encoder.
+
+    ``__call__(batch, rng)`` takes pre-patched (B, C, L, V), raw (B, C, G)
+    (with the encoder's patch_table set), or pre-flattened (B, L, V*C) input
+    and returns (loss, reconstruction).
+    """
+
+    encoder: SiT
+    mask_prob: float = 0.75
+    replace_prob: float = 0.8
+    swap_prob: float = 0.02
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: jax.Array,
+        rng: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+        fixed_mask: Optional[jax.Array] = None,
+        fixed_corrupted: Optional[jax.Array] = None,
+    ):
+        enc = self.encoder
+        patch_dim = enc.patch_dim
+        mask_token = self.param(
+            "mask_token", nn.initializers.normal(1.0), (1, 1, patch_dim),
+            enc.param_dtype,
+        )
+
+        if batch.ndim == 4:
+            target = rearrange_patched(batch)
+        elif batch.ndim == 3 and batch.shape[-1] == patch_dim:
+            target = batch
+        elif batch.ndim == 3:
+            target = patchify(batch, enc.patch_table)
+        else:
+            raise ValueError(f"bad MPP input shape {batch.shape}")
+
+        if fixed_mask is not None:
+            # parity/testing hook: caller supplies the corruption outcome
+            mask = fixed_mask
+            corrupted = fixed_corrupted
+            n_masked = None
+        else:
+            if rng is None:
+                rng = self.make_rng("mpp")
+            corrupted, mask, n_masked = corrupt_sequence(
+                rng,
+                target,
+                mask_token,
+                mask_prob=self.mask_prob,
+                replace_prob=self.replace_prob,
+                swap_prob=self.swap_prob,
+            )
+
+        tokens = (
+            jnp.dot(
+                corrupted.astype(enc.dtype),
+                enc.pe_kernel.astype(enc.dtype),
+                precision=enc.precision,
+            )
+            + enc.pe_bias.astype(enc.dtype)
+        )
+        x = enc.embed_tokens(tokens, deterministic=deterministic)
+        x = enc.encoder(x, deterministic=deterministic)
+
+        recon = nn.Dense(
+            patch_dim,
+            dtype=jnp.float32,
+            param_dtype=enc.param_dtype,
+            kernel_init=torch_linear_kernel_init
+            if enc.torch_init
+            else nn.initializers.lecun_normal(),
+            bias_init=torch_linear_bias_init(enc.dim)
+            if enc.torch_init
+            else nn.initializers.zeros_init(),
+            name="to_original",
+        )(x[:, 1:, :].astype(jnp.float32))
+
+        err = jnp.square(recon - target.astype(jnp.float32))
+        masked_err = jnp.where(mask[:, :, None], err, 0.0)
+        if n_masked is not None:
+            denom = target.shape[0] * n_masked * patch_dim
+        else:
+            denom = jnp.maximum(mask.sum() * patch_dim, 1)
+        loss = masked_err.sum() / denom
+        return loss, recon

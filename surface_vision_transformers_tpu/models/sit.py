@@ -1,0 +1,400 @@
+"""SiT — Surface Vision Transformer, pure-functional (flax.linen).
+
+Capability match with the reference model (reference: models/sit.py:25-82):
+linear patch embedding of (v c)-flattened surface patches, learned positional
+embedding + CLS token, pre-norm transformer encoder with fused no-bias QKV and
+exact-GELU MLP (block structure pinned by the reference's weight-key map,
+reference: utils/utils.py:17-33), cls/mean pooling, LayerNorm + Linear head.
+
+TPU-native differences (by design, not omission):
+  * accepts EITHER pre-patched (B, C, L, V) arrays (the reference's only input
+    format) OR raw (B, C, G) vertex arrays, in which case patchification +
+    normalization + embedding run fused on device (ops.fused_patch_embed) —
+    the reference does this offline in Python (tools/preprocessing.py:74-84);
+  * bf16 compute / fp32 params by default with fp32 softmax & LayerNorm;
+    ``compute_dtype=float32`` + ``matmul_precision='highest'`` gives the
+    parity mode used by the golden tests;
+  * attention dispatches to a Pallas flash-attention kernel on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surface_vision_transformers_tpu.ops import (
+    fused_patch_embed,
+    multi_head_attention,
+    rearrange_patched,
+)
+
+Dtype = Any
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """Mirror torch.nn.Linear's default kaiming_uniform(a=sqrt(5)) weight init
+    (bound = 1/sqrt(fan_in)); flax kernels are (fan_in, fan_out)."""
+    bound = 1.0 / np.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+@dataclasses.dataclass(frozen=True)
+class SiTParity:
+    """Numerics knobs bundled for the golden parity mode."""
+
+    compute_dtype: Dtype = jnp.bfloat16
+    params_dtype: Dtype = jnp.float32
+    precision: Any = None  # jax.lax.Precision for matmuls
+
+
+class Attention(nn.Module):
+    """Pre-norm MHSA with fused no-bias QKV and biased out-projection."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    dropout: float = 0.0
+    attn_backend: str = "auto"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    precision: Any = None
+    torch_init: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        inner = self.heads * self.dim_head
+        kernel_init = (
+            torch_linear_kernel_init if self.torch_init else nn.initializers.lecun_normal()
+        )
+        norm = nn.LayerNorm(
+            dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
+        )
+        h = norm(x).astype(self.dtype)
+        qkv = nn.Dense(
+            3 * inner,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=kernel_init,
+            precision=self.precision,
+            name="to_qkv",
+        )(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        B, N = q.shape[0], q.shape[1]
+
+        def heads(t):
+            return t.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        out = multi_head_attention(
+            heads(q), heads(k), heads(v),
+            backend=self.attn_backend, precision=self.precision,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+        out = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=kernel_init,
+            bias_init=torch_linear_bias_init(inner) if self.torch_init else nn.initializers.zeros_init(),
+            precision=self.precision,
+            name="to_out",
+        )(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class FeedForward(nn.Module):
+    """Pre-norm MLP: Linear -> exact GELU -> Dropout -> Linear -> Dropout."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    precision: Any = None
+    torch_init: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        kernel_init = (
+            torch_linear_kernel_init if self.torch_init else nn.initializers.lecun_normal()
+        )
+        h = nn.LayerNorm(
+            dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
+        )(x).astype(self.dtype)
+        h = nn.Dense(
+            self.hidden_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=kernel_init,
+            bias_init=torch_linear_bias_init(self.dim) if self.torch_init else nn.initializers.zeros_init(),
+            precision=self.precision,
+            name="fc1",
+        )(h)
+        h = nn.gelu(h.astype(jnp.float32), approximate=False).astype(self.dtype)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=kernel_init,
+            bias_init=torch_linear_bias_init(self.hidden_dim) if self.torch_init else nn.initializers.zeros_init(),
+            precision=self.precision,
+            name="fc2",
+        )(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class Encoder(nn.Module):
+    """depth x [x += MHSA(LN(x)); x += MLP(LN(x))] — no trailing norm (the
+    final LayerNorm lives in the head, as in the reference's mlp_head[0])."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    attn_backend: str = "auto"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    precision: Any = None
+    torch_init: bool = True
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        common = dict(
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            precision=self.precision,
+            torch_init=self.torch_init,
+        )
+        AttnMod, FFMod = Attention, FeedForward
+        if self.remat:
+            AttnMod = nn.remat(Attention, static_argnums=())
+            FFMod = nn.remat(FeedForward, static_argnums=())
+        for i in range(self.depth):
+            x = x + AttnMod(
+                dim=self.dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dropout=self.dropout,
+                attn_backend=self.attn_backend,
+                name=f"layers_{i}_attn",
+                **common,
+            )(x, deterministic=deterministic)
+            x = x + FFMod(
+                dim=self.dim,
+                hidden_dim=self.mlp_dim,
+                dropout=self.dropout,
+                name=f"layers_{i}_mlp",
+                **common,
+            )(x, deterministic=deterministic)
+        return x
+
+
+class SiT(nn.Module):
+    """Surface Vision Transformer.
+
+    Call with pre-patched (B, C, L, V) input, or raw (B, C, G) vertex input
+    when ``patch_table`` is set (fused on-device patchify path). Set
+    ``norm_means``/``norm_stds`` to fold per-channel z-scoring into the patch
+    embedding (raw path only).
+    """
+
+    dim: int = 192
+    depth: int = 12
+    heads: int = 3
+    mlp_dim: int = 768
+    pool: str = "cls"
+    num_patches: int = 320
+    num_classes: int = 1
+    num_channels: int = 4
+    num_vertices: int = 153
+    dim_head: int = 64
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+    patch_table: Optional[np.ndarray] = None
+    norm_means: Optional[np.ndarray] = None
+    norm_stds: Optional[np.ndarray] = None
+    attn_backend: str = "auto"
+    patch_backend: str = "auto"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    precision: Any = None
+    torch_init: bool = True
+    remat: bool = False
+
+    @property
+    def patch_dim(self) -> int:
+        return self.num_channels * self.num_vertices
+
+    def setup(self):
+        assert self.pool in ("cls", "mean"), "pool must be 'cls' or 'mean'"
+        # Patch-embedding weights as explicit params (not nn.Dense): both the
+        # raw fused path and the pre-patched path consume them directly, and
+        # the raw path must still create them at init time.
+        self.pe_kernel = self.param(
+            "patch_embedding_kernel",
+            torch_linear_kernel_init
+            if self.torch_init
+            else nn.initializers.lecun_normal(),
+            (self.patch_dim, self.dim),
+            self.param_dtype,
+        )
+        self.pe_bias = self.param(
+            "patch_embedding_bias",
+            torch_linear_bias_init(self.patch_dim)
+            if self.torch_init
+            else nn.initializers.zeros_init(),
+            (self.dim,),
+            self.param_dtype,
+        )
+        # randn init as in the reference (models/sit.py:53-54)
+        self.pos_embedding = self.param(
+            "pos_embedding",
+            nn.initializers.normal(1.0),
+            (1, self.num_patches + 1, self.dim),
+            self.param_dtype,
+        )
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.normal(1.0), (1, 1, self.dim), self.param_dtype
+        )
+        self.emb_drop = nn.Dropout(self.emb_dropout)
+        self.encoder = Encoder(
+            dim=self.dim,
+            depth=self.depth,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            attn_backend=self.attn_backend,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            precision=self.precision,
+            torch_init=self.torch_init,
+            remat=self.remat,
+            name="encoder",
+        )
+        self.head_norm = nn.LayerNorm(
+            dtype=jnp.float32, param_dtype=self.param_dtype, name="head_norm"
+        )
+        self.head = nn.Dense(
+            self.num_classes,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            kernel_init=torch_linear_kernel_init
+            if self.torch_init
+            else nn.initializers.lecun_normal(),
+            bias_init=torch_linear_bias_init(self.dim)
+            if self.torch_init
+            else nn.initializers.zeros_init(),
+            precision=self.precision,
+            name="head",
+        )
+
+    def embed(self, x, *, deterministic: bool = True):
+        """Input -> (B, L+1, dim) token sequence (CLS + pos + dropout)."""
+        if x.ndim == 3:
+            if self.patch_table is None:
+                raise ValueError(
+                    "raw (B, C, G) input requires patch_table to be set"
+                )
+            tokens = fused_patch_embed(
+                x,
+                self.patch_table,
+                self.pe_kernel,
+                self.pe_bias,
+                means=self.norm_means,
+                stds=self.norm_stds,
+                backend=self.patch_backend,
+                compute_dtype=self.dtype,
+            )
+        elif x.ndim == 4:
+            t = rearrange_patched(x).astype(self.dtype)
+            tokens = (
+                jnp.dot(
+                    t, self.pe_kernel.astype(self.dtype), precision=self.precision
+                )
+                + self.pe_bias.astype(self.dtype)
+            )
+        else:
+            raise ValueError(f"expected 3D raw or 4D pre-patched input, got {x.shape}")
+        return self.embed_tokens(tokens, deterministic=deterministic)
+
+    def embed_tokens(self, tokens, *, deterministic: bool = True):
+        """(B, L, dim) embedded patches -> (B, L+1, dim) with CLS/pos/dropout.
+        Shared with the MPP head, which embeds corrupted patches itself
+        (reference: models/mpp.py:115-125)."""
+        B, n = tokens.shape[0], tokens.shape[1]
+        cls = jnp.broadcast_to(
+            self.cls_token.astype(tokens.dtype), (B, 1, self.dim)
+        )
+        x = jnp.concatenate([cls, tokens], axis=1)
+        x = x + self.pos_embedding[:, : n + 1].astype(tokens.dtype)
+        return self.emb_drop(x, deterministic=deterministic)
+
+    def encode(self, x, *, deterministic: bool = True):
+        """Input -> (B, L+1, dim) encoded sequence."""
+        return self.encoder(
+            self.embed(x, deterministic=deterministic), deterministic=deterministic
+        )
+
+    def __call__(self, x, *, deterministic: bool = True):
+        x = self.encode(x, deterministic=deterministic)
+        x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
+        return self.head(self.head_norm(x.astype(jnp.float32)))
+
+    @classmethod
+    def from_config(cls, cfg, **overrides) -> "SiT":
+        """Build from a utils.config.Experiment or ModelConfig."""
+        m = getattr(cfg, "model", cfg)
+        tpu = getattr(cfg, "tpu", None)
+        kw = dict(
+            dim=m.dim,
+            depth=m.depth,
+            heads=m.heads,
+            mlp_dim=m.mlp_dim,
+            pool=m.pool,
+            num_patches=m.num_patches,
+            num_classes=m.num_classes,
+            num_channels=m.num_channels,
+            num_vertices=m.num_vertices,
+            dim_head=m.dim_head,
+            dropout=m.dropout,
+            emb_dropout=m.emb_dropout,
+        )
+        if tpu is not None:
+            kw.update(
+                dtype=jnp.dtype(tpu.compute_dtype),
+                param_dtype=jnp.dtype(tpu.params_dtype),
+                attn_backend="auto" if tpu.kernel_backend == "auto" else tpu.kernel_backend,
+                patch_backend="auto" if tpu.kernel_backend == "auto" else tpu.kernel_backend,
+                torch_init=tpu.torch_init,
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if tpu.matmul_precision == "highest"
+                    else None
+                ),
+            )
+        kw.update(overrides)
+        return cls(**kw)

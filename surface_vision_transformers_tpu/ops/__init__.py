@@ -1,0 +1,19 @@
+from surface_vision_transformers_tpu.ops.attention import (
+    multi_head_attention,
+    xla_attention,
+)
+from surface_vision_transformers_tpu.ops.patchify import (
+    fold_normalization,
+    fused_patch_embed,
+    patchify,
+    rearrange_patched,
+)
+
+__all__ = [
+    "fold_normalization",
+    "fused_patch_embed",
+    "multi_head_attention",
+    "patchify",
+    "rearrange_patched",
+    "xla_attention",
+]

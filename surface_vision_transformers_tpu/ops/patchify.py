@@ -1,0 +1,116 @@
+"""On-device icosahedral patchification ops.
+
+The reference does patch extraction OFFLINE in a per-subject, per-patch Python
+loop writing .npy files (reference: tools/preprocessing.py:74-84), so its
+models only ever see pre-patched (B, C, L, V) arrays. Here patchification is
+an on-device op over raw (B, C, G) vertex arrays (G = 10*4^ico + 2):
+
+  patchify:             static-table gather -> (B, L, V*C) tokens,
+  fused_patch_embed:    gather + per-channel z-score + patch-embedding GEMM in
+                        one jit region, with the normalization *folded into
+                        the embedding weights* so it costs zero FLOPs at
+                        runtime.
+
+Token layout matches the reference's ``Rearrange('b c n v -> b n (v c)')``
+(reference: models/sit.py:49): feature index = v * C + c (channel-fastest).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def patchify(x: jax.Array, indices) -> jax.Array:
+    """Gather raw vertex features into patch tokens.
+
+    Args:
+      x: (B, C, G) raw per-vertex features.
+      indices: (L, V) int32 patch table (static).
+
+    Returns:
+      (B, L, V*C) patch tokens, feature order (v c).
+    """
+    indices = jnp.asarray(indices)
+    L, V = indices.shape
+    B, C, _ = x.shape
+    flat = indices.reshape(-1)  # (L*V,)
+    g = jnp.take(x, flat, axis=2)  # (B, C, L*V)
+    g = g.reshape(B, C, L, V).transpose(0, 2, 3, 1)  # (B, L, V, C)
+    return g.reshape(B, L, V * C)
+
+
+def rearrange_patched(x: jax.Array) -> jax.Array:
+    """(B, C, L, V) pre-patched input -> (B, L, V*C) tokens ((v c) order)."""
+    B, C, L, V = x.shape
+    return x.transpose(0, 2, 3, 1).reshape(B, L, V * C)
+
+
+def fold_normalization(
+    kernel: jax.Array,
+    bias: jax.Array,
+    means: jax.Array | np.ndarray,
+    stds: jax.Array | np.ndarray,
+    num_vertices: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Fold per-channel z-score normalization into embedding weights.
+
+    With tokens t = (gather(x) - mean) / std and embedding t @ W + b, we have
+    equivalently gather(x) @ W' + b' with W' = W / std_flat[:, None] and
+    b' = b - (mean_flat / std_flat) @ W. means/stds come in the reference's
+    (1, C, 1) stats layout (reference: tools/preprocessing.py:55-56) or flat
+    (C,).
+
+    Args:
+      kernel: (V*C, dim) embedding weights (feature order (v c)).
+      bias: (dim,).
+
+    Returns:
+      (kernel', bias') of the same shapes/dtypes.
+    """
+    means = jnp.asarray(means).reshape(-1)  # (C,)
+    stds = jnp.asarray(stds).reshape(-1)
+    C = means.shape[0]
+    mean_flat = jnp.tile(means, num_vertices)  # (V*C,), index v*C+c
+    std_flat = jnp.tile(stds, num_vertices)
+    kernel = kernel.astype(jnp.float32)
+    k2 = kernel / std_flat[:, None]
+    b2 = bias.astype(jnp.float32) - (mean_flat / std_flat) @ kernel
+    return k2, b2
+
+
+def fused_patch_embed(
+    x: jax.Array,
+    indices,
+    kernel: jax.Array,
+    bias: jax.Array,
+    *,
+    means=None,
+    stds=None,
+    backend: str = "auto",
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Patchify + (optional) normalize + embed: (B, C, G) -> (B, L, dim).
+
+    The normalization folds into (kernel, bias) at trace time; the gather and
+    GEMM execute in one jit region (XLA fuses), or in a single Pallas kernel
+    with ``backend='pallas'`` on TPU.
+    """
+    if means is not None:
+        kernel, bias = fold_normalization(
+            kernel, bias, means, stds, int(np.asarray(indices).shape[1])
+        )
+    if backend == "auto":
+        backend = "xla"  # pallas path opted into explicitly until it wins
+    if backend == "pallas":
+        from surface_vision_transformers_tpu.ops.pallas.patch_embed import (
+            pallas_patch_embed,
+        )
+
+        return pallas_patch_embed(
+            x, indices, kernel, bias, compute_dtype=compute_dtype
+        )
+    tokens = patchify(x, indices)
+    tokens = tokens.astype(compute_dtype)
+    return tokens @ kernel.astype(compute_dtype) + bias.astype(compute_dtype)

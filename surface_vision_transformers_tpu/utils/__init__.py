@@ -1,0 +1,25 @@
+from surface_vision_transformers_tpu.utils.config import (
+    DataConfig,
+    Experiment,
+    ModelConfig,
+    MPPConfig,
+    OptimConfig,
+    TPUConfig,
+    TrainingConfig,
+    dump_config_with_results,
+    from_dict,
+    load_config,
+)
+
+__all__ = [
+    "DataConfig",
+    "Experiment",
+    "MPPConfig",
+    "ModelConfig",
+    "OptimConfig",
+    "TPUConfig",
+    "TrainingConfig",
+    "dump_config_with_results",
+    "from_dict",
+    "load_config",
+]
