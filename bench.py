@@ -1,0 +1,139 @@
+"""Headline benchmark: SiT-tiny dHCP inference surfaces/sec/chip with the
+fused on-device patchify+encode path (raw (B, 4, 40962) vertex input).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "surfaces/sec/chip", "vs_baseline": N}
+
+Timing methodology: this host reaches the TPU through an RPC relay where
+per-dispatch latency is ~60 ms and async dispatch over-reports throughput, so
+the benchmark runs the model inside an ON-DEVICE lax.scan loop (each
+iteration's input is perturbed so nothing folds away) and reports
+(t[n_iters] - t[1_iter]) / (n_iters - 1), fetching only a scalar.
+
+vs_baseline compares against an ANALYTIC estimate of the reference PyTorch
+pipeline on one A100, since the reference publishes no numbers and no A100
+exists here to measure (SURVEY §6). Derivation: SiT-tiny forward is ~4.4
+GFLOP/sample at L=321 — 3.4x the FLOPs of ViT-Tiny/16 (1.3 GFLOP, L=197),
+same dim/depth. Published eager-PyTorch fp32 ViT-Tiny inference on A100 is
+~5-7k img/s (dim-192 GEMMs and a materialized (B,3,L,L) softmax keep it far
+from peak); scaling by FLOPs gives ~1.5-2k surfaces/s for the reference model.
+We take the high end: BASELINE_A100_SURFACES_PER_S = 2_000. BASELINE.json's
+>=10x target is met when vs_baseline >= 10. This stays an estimate until
+someone runs the reference on a real A100; the raw surfaces/sec/chip value is
+the number to trust either way.
+
+Details (batch sweep, train-step throughput) go to BENCH_DETAILS.json.
+"""
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_A100_SURFACES_PER_S = 2_000.0
+
+
+def timed_scan(fn, args, iters=51):
+    """On-device loop timing; returns seconds per iteration."""
+
+    def make(k):
+        @jax.jit
+        def loop(*a):
+            def body(acc, i):
+                return acc + fn(*a, i), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(k))
+            return acc
+
+        return loop
+
+    l1, ln = make(1), make(iters)
+    float(l1(*args))
+    float(ln(*args))
+    t = time.perf_counter(); float(l1(*args)); t1 = time.perf_counter() - t
+    t = time.perf_counter(); float(ln(*args)); tn = time.perf_counter() - t
+    return max((tn - t1) / (iters - 1), 1e-9)
+
+
+def main():
+    from surface_vision_transformers_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
+    from surface_vision_transformers_tpu.geometry import load_patch_table
+    from surface_vision_transformers_tpu.models import SiT
+    from surface_vision_transformers_tpu.train import Trainer
+    from surface_vision_transformers_tpu.utils.config import from_dict
+
+    table = load_patch_table(6, 2)
+    key = jax.random.PRNGKey(0)
+    model = SiT(
+        dim=192, depth=12, heads=3, mlp_dim=768,
+        num_patches=320, num_vertices=153, patch_table=table.indices,
+    )
+    params = model.init(key, jnp.zeros((1, 4, 40962)))
+
+    details = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "model": "SiT-tiny sub-ico-2, fused raw patchify + flash-attn encode, bf16",
+        "method": "on-device lax.scan loop, (t_n - t_1)/(n-1)",
+        "inference": {},
+    }
+
+    best_tput, best_bs = 0.0, 0
+    for bs in (256, 512, 1024):
+        x = jax.random.normal(key, (bs, 4, 40962), jnp.float32)
+
+        def step(p, x, i):
+            return model.apply(p, x * (1 + i.astype(jnp.float32) * 1e-6)).mean().astype(jnp.float32)
+
+        dt = timed_scan(step, (params, x), iters=51 if bs <= 512 else 21)
+        tput = bs / dt
+        details["inference"][bs] = {
+            "ms_per_batch": round(dt * 1e3, 3),
+            "surfaces_per_s": round(tput, 1),
+        }
+        if tput > best_tput:
+            best_tput, best_bs = tput, bs
+
+    # train-step throughput (supervised recipe, Adam)
+    exp = from_dict({
+        "resolution": {"ico": 6, "sub_ico": 2},
+        "transformer": {"dim": 192, "depth": 12, "heads": 3, "mlp_dim": 768},
+        "training": {"LR": 1e-4, "bs": 256, "epochs": 1},
+        "optimisation": {"optimiser": "Adam"},
+    })
+    trainer = Trainer(exp, model=model)
+    xb = jax.random.normal(key, (512, 4, 40962), jnp.float32)
+    yb = jax.random.normal(key, (512,))
+    state = trainer.init_state(xb[:1])
+    t0 = time.perf_counter()
+    state, _ = trainer.train_epoch(state, xb, yb)  # compile
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, m = trainer.train_epoch(state, xb, yb)
+    jax.block_until_ready(state.params)
+    epoch_s = time.perf_counter() - t0
+    details["train"] = {
+        "bs": 256, "steps": 2, "epoch_s": round(epoch_s, 4),
+        "surfaces_per_s_approx": round(512 / epoch_s, 1),
+        "compile_s": round(compile_s, 1),
+    }
+
+    details["best_batch"] = best_bs
+    details["baseline_a100_estimate_surfaces_per_s"] = BASELINE_A100_SURFACES_PER_S
+    Path(__file__).with_name("BENCH_DETAILS.json").write_text(
+        json.dumps(details, indent=2)
+    )
+
+    print(json.dumps({
+        "metric": "SiT-tiny dHCP inference (fused patchify+encode)",
+        "value": round(best_tput, 1),
+        "unit": "surfaces/sec/chip",
+        "vs_baseline": round(best_tput / BASELINE_A100_SURFACES_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Orbax checkpointing: resumable training state, not just weights.
+
+The reference saves bare ``state_dict``s on best-val (tools/train.py:361-363)
+and, for pretraining, dicts with epoch/optimizer state it never reads back
+(tools/pretrain.py:378-389 — there is no resume path, SURVEY §5). Here a
+checkpoint is the full TrainState (params, optimizer state, step, PRNG key)
+plus metadata (epoch, best metric), and ``restore`` resumes exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abs(path) -> str:
+    return str(Path(path).resolve())
+
+
+def save_state(path: str | os.PathLike, state: Any, metadata: dict | None = None):
+    """Save a pytree (e.g. TrainState) + JSON metadata to ``path``."""
+    path = Path(_abs(path))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "state", state, force=True)
+    if metadata is not None:
+        with open(path / "metadata.json", "w") as f:
+            json.dump(metadata, f)
+
+
+def restore_state(path: str | os.PathLike, template: Any) -> tuple[Any, dict]:
+    """Restore a pytree saved by save_state; template supplies the structure
+    (an abstract or concrete TrainState). Returns (state, metadata)."""
+    path = Path(_abs(path))
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path / "state", template)
+    meta_file = path / "metadata.json"
+    metadata = {}
+    if meta_file.exists():
+        metadata = json.loads(meta_file.read_text())
+    return state, metadata
+
+
+def save_params_npz(path: str | os.PathLike, params: Any) -> None:
+    """Portable flat-npz export of a param tree (no orbax needed to read)."""
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
+        )
+        flat[name] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str | os.PathLike) -> dict:
+    """Inverse of save_params_npz: nested dict keyed by path segments."""
+    out: dict = {}
+    with np.load(path) as z:
+        for name in z.files:
+            parts = name.split("/")
+            cur = out
+            for p in parts[:-1]:
+                cur = cur.setdefault(p, {})
+            cur[parts[-1]] = z[name]
+    return out

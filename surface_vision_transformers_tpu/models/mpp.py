@@ -107,6 +107,7 @@ class MPP(nn.Module):
         deterministic: bool = True,
         fixed_mask: Optional[jax.Array] = None,
         fixed_corrupted: Optional[jax.Array] = None,
+        sample_weights: Optional[jax.Array] = None,
     ):
         enc = self.encoder
         patch_dim = enc.patch_dim
@@ -150,7 +151,12 @@ class MPP(nn.Module):
             + enc.pe_bias.astype(enc.dtype)
         )
         x = enc.embed_tokens(tokens, deterministic=deterministic)
-        x = enc.encoder(x, deterministic=deterministic)
+        x = enc.encoder(
+            x,
+            deterministic=deterministic,
+            valid_len=enc.valid_len if enc.padded_len > enc.valid_len else None,
+        )
+        x = x[:, : enc.valid_len]
 
         recon = nn.Dense(
             patch_dim,
@@ -167,8 +173,14 @@ class MPP(nn.Module):
 
         err = jnp.square(recon - target.astype(jnp.float32))
         masked_err = jnp.where(mask[:, :, None], err, 0.0)
+        if sample_weights is not None:
+            # padded-batch support: weight-0 samples contribute nothing
+            masked_err = masked_err * sample_weights[:, None, None]
+            batch_count = jnp.maximum(sample_weights.sum(), 1e-9)
+        else:
+            batch_count = target.shape[0]
         if n_masked is not None:
-            denom = target.shape[0] * n_masked * patch_dim
+            denom = batch_count * n_masked * patch_dim
         else:
             denom = jnp.maximum(mask.sum() * patch_dim, 1)
         loss = masked_err.sum() / denom

@@ -74,8 +74,21 @@ class Attention(nn.Module):
     precision: Any = None
     torch_init: bool = True
 
+    def _use_packed_kernel(self, seq_len: int) -> bool:
+        """The packed-QKV Pallas kernel needs a tile-aligned sequence and a
+        TPU (or explicit pallas request); parity mode (HIGHEST) opts out."""
+        if self.attn_backend not in ("auto", "pallas"):
+            return False
+        if self.precision in (jax.lax.Precision.HIGHEST, "highest"):
+            return False
+        if seq_len % 128 != 0:
+            return False
+        if self.attn_backend == "pallas":
+            return True
+        return jax.default_backend() == "tpu"
+
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, valid_len=None):
         inner = self.heads * self.dim_head
         kernel_init = (
             torch_linear_kernel_init if self.torch_init else nn.initializers.lecun_normal()
@@ -93,17 +106,28 @@ class Attention(nn.Module):
             precision=self.precision,
             name="to_qkv",
         )(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        B, N = q.shape[0], q.shape[1]
+        B, N = qkv.shape[0], qkv.shape[1]
 
-        def heads(t):
-            return t.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        out = None
+        if self._use_packed_kernel(N):
+            from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+                flash_attention_qkv,
+            )
 
-        out = multi_head_attention(
-            heads(q), heads(k), heads(v),
-            backend=self.attn_backend, precision=self.precision,
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+            # (B, N, 3*H*D) is laid out [q | k | v] (torch chunk(3) order),
+            # exactly the lane layout the packed kernel consumes
+            out = flash_attention_qkv(qkv, self.heads, valid_len)
+        if out is None:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def heads(t):
+                return t.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+            out = multi_head_attention(
+                heads(q), heads(k), heads(v), valid_len,
+                backend=self.attn_backend, precision=self.precision,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
         out = nn.Dense(
             self.dim,
             dtype=self.dtype,
@@ -146,7 +170,13 @@ class FeedForward(nn.Module):
             precision=self.precision,
             name="fc1",
         )(h)
-        h = nn.gelu(h.astype(jnp.float32), approximate=False).astype(self.dtype)
+        # exact (erf) GELU as in the reference's nn.GELU; computed in fp32
+        # only in parity mode — fp32 GELU on bf16 activations costs ~0.7 ms /
+        # layer in HBM casts at B=256 for zero accuracy gain in bf16 training
+        if self.dtype == jnp.float32 or self.precision is not None:
+            h = nn.gelu(h.astype(jnp.float32), approximate=False).astype(self.dtype)
+        else:
+            h = nn.gelu(h, approximate=False)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(
@@ -181,7 +211,7 @@ class Encoder(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, valid_len=None):
         common = dict(
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -201,7 +231,7 @@ class Encoder(nn.Module):
                 attn_backend=self.attn_backend,
                 name=f"layers_{i}_attn",
                 **common,
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, valid_len=valid_len)
             x = x + FFMod(
                 dim=self.dim,
                 hidden_dim=self.mlp_dim,
@@ -243,10 +273,25 @@ class SiT(nn.Module):
     precision: Any = None
     torch_init: bool = True
     remat: bool = False
+    # pad the token sequence ONCE to a 128-multiple so every layer runs
+    # tile-aligned and the attention kernels need no per-layer padding; the
+    # padding is masked in attention and sliced off at pooling, so outputs
+    # are unchanged.
+    seq_pad: bool = True
 
     @property
     def patch_dim(self) -> int:
         return self.num_channels * self.num_vertices
+
+    @property
+    def valid_len(self) -> int:
+        return self.num_patches + 1
+
+    @property
+    def padded_len(self) -> int:
+        if not self.seq_pad:
+            return self.valid_len
+        return (self.valid_len + 127) // 128 * 128
 
     def setup(self):
         assert self.pool in ("cls", "mean"), "pool must be 'cls' or 'mean'"
@@ -351,17 +396,25 @@ class SiT(nn.Module):
         )
         x = jnp.concatenate([cls, tokens], axis=1)
         x = x + self.pos_embedding[:, : n + 1].astype(tokens.dtype)
+        if self.padded_len > n + 1:
+            x = jnp.pad(x, [(0, 0), (0, self.padded_len - (n + 1)), (0, 0)])
         return self.emb_drop(x, deterministic=deterministic)
 
     def encode(self, x, *, deterministic: bool = True):
-        """Input -> (B, L+1, dim) encoded sequence."""
+        """Input -> (B, padded_len, dim) encoded sequence; only the first
+        ``valid_len`` rows carry data."""
         return self.encoder(
-            self.embed(x, deterministic=deterministic), deterministic=deterministic
+            self.embed(x, deterministic=deterministic),
+            deterministic=deterministic,
+            valid_len=self.valid_len if self.padded_len > self.valid_len else None,
         )
 
     def __call__(self, x, *, deterministic: bool = True):
         x = self.encode(x, deterministic=deterministic)
-        x = jnp.mean(x, axis=1) if self.pool == "mean" else x[:, 0]
+        if self.pool == "mean":
+            x = jnp.mean(x[:, : self.valid_len], axis=1)
+        else:
+            x = x[:, 0]
         return self.head(self.head_norm(x.astype(jnp.float32)))
 
     @classmethod

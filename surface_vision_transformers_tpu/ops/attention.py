@@ -32,15 +32,26 @@ def _on_tpu() -> bool:
 
 
 def xla_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, *, precision=None
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    valid_len: int | None = None,
+    *,
+    precision=None,
 ) -> jax.Array:
-    """Reference-semantics attention. q, k, v: (B, H, N, Dh) -> (B, H, N, Dh)."""
+    """Reference-semantics attention. q, k, v: (B, H, N, Dh) -> (B, H, N, Dh).
+
+    ``valid_len`` masks key/value positions >= valid_len (used when the caller
+    pre-padded the sequence to a tile-aligned length)."""
     dh = q.shape[-1]
     scale = dh ** -0.5
     logits = jnp.einsum(
         "bhnd,bhmd->bhnm", q, k, precision=precision,
         preferred_element_type=jnp.float32,
     )
+    if valid_len is not None and valid_len < q.shape[2]:
+        mask = jnp.arange(q.shape[2]) < valid_len
+        logits = jnp.where(mask[None, None, None, :], logits, -1e30)
     weights = jax.nn.softmax(logits * scale, axis=-1)
     weights = weights.astype(v.dtype)
     return jnp.einsum("bhnm,bhmd->bhnd", weights, v, precision=precision)
@@ -50,22 +61,28 @@ def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
+    valid_len: int | None = None,
     *,
     backend: str = "auto",
     precision=None,
 ) -> jax.Array:
     """Dispatching attention entry point. q, k, v: (B, H, N, Dh)."""
     if backend == "auto":
-        backend = "pallas" if _on_tpu() else "xla"
+        # HIGHEST precision signals parity mode -> exact XLA path; otherwise
+        # the fused Pallas kernel wins on TPU (no HBM logits roundtrip).
+        if precision in (jax.lax.Precision.HIGHEST, "highest"):
+            backend = "xla"
+        else:
+            backend = "pallas" if _on_tpu() else "xla"
     if backend == "pallas":
         try:
             from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
                 flash_attention,
             )
 
-            return flash_attention(q, k, v)
+            return flash_attention(q, k, v, valid_len)
         except (ImportError, NotImplementedError):
             backend = "xla"
     if backend != "xla":
         raise ValueError(f"unknown attention backend {backend!r}")
-    return xla_attention(q, k, v, precision=precision)
+    return xla_attention(q, k, v, valid_len, precision=precision)

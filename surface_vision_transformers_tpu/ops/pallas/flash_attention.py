@@ -1,0 +1,411 @@
+"""Fused multi-head attention Pallas TPU kernel (forward + backward).
+
+Why: XLA materializes the (B, H, N, N) attention logits in HBM (fp32, ~316 MB
+for B=256, N=321), then reads them back for softmax and again for the AV
+matmul — measured ~3.4 ms/layer for SiT-tiny shapes on v5e, ~10x the
+compute-bound floor. This kernel keeps the logits tile in VMEM: per program it
+computes S = QK^T * scale, a numerically stable softmax, and O = PV in one
+pass, writing only O (plus the logsumexp residual for backward) to HBM.
+
+Surface sequences are short (N = L+1 <= 1281 for every geometry the framework
+ships — SURVEY §5 long-context note), so a single-block kernel per (batch,
+head) is both simpler and faster than multi-block streaming. Design notes from
+v5e measurements:
+  * programs are batched G (b,h)-pairs at a time — G=4 cut kernel time ~35%
+    vs one (b,h) per program (better DMA/compute overlap at these tiny sizes);
+  * the head dim stays UNPADDED (64 lanes) — padding to 128 lanes cost ~30%;
+  * callers should pre-pad the sequence to a multiple of 128 ONCE (SiT pads
+    at embedding time and passes ``valid_len``); unaligned inputs are padded
+    here as a fallback.
+  * ``valid_len`` masks padding columns to -inf; padding rows are zeroed in
+    the backward kernel so dK/dV stay clean.
+
+Semantics match ops.attention.xla_attention (and the reference model's
+vit-pytorch attention, reference models/sit.py:57): softmax((Q K^T) *
+dh^-0.5) V with fp32 softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Single-block limit: the (Np x Np) fp32 logits tile must fit VMEM (~16 MB).
+MAX_SINGLE_BLOCK_SEQ = 1536
+
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_group(bh: int) -> int:
+    for g in (4, 2):
+        if bh % g == 0:
+            return g
+    return 1
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, valid_len, group):
+    np_ = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    for g in range(group):
+        s = jax.lax.dot_general(
+            q_ref[g], k_ref[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+        s = jnp.where(col < valid_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[g] = (o / l).astype(o_ref.dtype)
+        lse_ref[g] = m + jnp.log(l)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, lse_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, scale, valid_len, group,
+):
+    np_ = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    for g in range(group):
+        q, k, v = q_ref[g], k_ref[g], v_ref[g]
+        dout = g_ref[g]
+        lse = lse_ref[g]  # (Np, 1) fp32
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+        s = jnp.where(col < valid_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        # padding ROWS would scatter garbage into dk/dv; zero them
+        p = jnp.where(row < valid_len, p, 0.0)
+
+        pb = p.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            pb, dout, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            dout, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[g] = dq.astype(dq_ref.dtype)
+        dk_ref[g] = dk.astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
+
+
+def _prep(q, k, v, g=None):
+    """(B, H, N, D) -> (B*H, Np, D) with N padded to 128 if needed."""
+    B, H, N, D = q.shape
+    Np = _round_up(N, 128)
+
+    def r(t):
+        if t is None:
+            return None
+        if Np != N:
+            t = jnp.pad(t, [(0, 0), (0, 0), (0, Np - N), (0, 0)])
+        return t.reshape(B * H, Np, D)
+
+    return r(q), r(k), r(v), r(g), (B, H, N, D, Np)
+
+
+def _fwd(q, k, v, valid_len):
+    qf, kf, vf, _, (B, H, N, D, Np) = _prep(q, k, v)
+    scale = D ** -0.5
+    G = _pick_group(B * H)
+    blk = pl.BlockSpec((G, Np, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, valid_len=valid_len, group=G
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Np, 1), jnp.float32),
+        ),
+        grid=(B * H // G,),
+        in_specs=[blk, blk, blk],
+        out_specs=(
+            blk,
+            pl.BlockSpec((G, Np, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf)
+    out = o.reshape(B, H, Np, D)
+    if Np != N:
+        out = out[:, :, :N, :]
+    return out, lse
+
+
+def _bwd_impl(q, k, v, lse, g, valid_len):
+    qf, kf, vf, gf, (B, H, N, D, Np) = _prep(q, k, v, g)
+    scale = D ** -0.5
+    G = _pick_group(B * H)
+    blk = pl.BlockSpec((G, Np, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((G, Np, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, scale=scale, valid_len=valid_len, group=G
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+        ),
+        grid=(B * H // G,),
+        in_specs=[blk, blk, blk, lse_blk, blk],
+        out_specs=(blk, blk, blk),
+        interpret=_interpret(),
+    )(qf, kf, vf, lse, gf)
+
+    def unp(t):
+        t = t.reshape(B, H, Np, D)
+        return t[:, :, :N, :] if Np != N else t
+
+    return unp(dq), unp(dk), unp(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, valid_len: int | None = None
+) -> jax.Array:
+    """Fused attention. q, k, v: (B, H, N, Dh) -> (B, H, N, Dh).
+
+    ``valid_len``: number of real (unpadded) tokens; keys/values at positions
+    >= valid_len are masked out. Defaults to N.
+
+    Raises NotImplementedError beyond the single-block limit; the
+    ops.attention dispatcher falls back to the XLA path.
+    """
+    out, _ = _vjp_fwd(q, k, v, valid_len)
+    return out
+
+
+def _vjp_fwd(q, k, v, valid_len):
+    if q.shape[2] > MAX_SINGLE_BLOCK_SEQ:
+        raise NotImplementedError(
+            f"flash_attention single-block kernel supports N <= "
+            f"{MAX_SINGLE_BLOCK_SEQ}, got {q.shape[2]}"
+        )
+    vl = q.shape[2] if valid_len is None else int(valid_len)
+    out, lse = _fwd(q, k, v, vl)
+    return out, (q, k, v, lse)
+
+
+def _vjp_bwd(valid_len, res, g):
+    q, k, v, lse = res
+    vl = q.shape[2] if valid_len is None else int(valid_len)
+    return _bwd_impl(q, k, v, lse, g, vl)
+
+
+flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# -- packed-QKV variant -------------------------------------------------------
+#
+# Takes the fused projection output directly as (B, N, 3*H*D) — the natural
+# [q | k | v] lane layout of the to_qkv GEMM — avoiding the split and the
+# (B,H,N,D) transposes entirely (~0.4 ms/layer of HBM traffic at B=256).
+# Heads live in static 64-lane slices; output is (B, N, H*D), exactly the
+# layout the out-projection consumes. Trailing block dims stay (Np, lanes),
+# which is the only layout Mosaic tiles well.
+
+
+def _fwd_kernel_packed(qkv_ref, o_ref, lse_ref, *, scale, valid_len, group, heads, dh):
+    np_ = qkv_ref.shape[1]
+    hd = heads * dh
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    for g in range(group):
+        outs = []
+        lses = []
+        for h in range(heads):
+            q = qkv_ref[g, :, h * dh:(h + 1) * dh]
+            k = qkv_ref[g, :, hd + h * dh:hd + (h + 1) * dh]
+            v = qkv_ref[g, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale
+            s = jnp.where(col < valid_len, s, _NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append((o / l).astype(o_ref.dtype))
+            lses.append(m + jnp.log(l))
+        o_ref[g] = jnp.concatenate(outs, axis=-1)
+        lse_ref[g] = jnp.concatenate(lses, axis=-1)
+
+
+def _bwd_kernel_packed(
+    qkv_ref, lse_ref, g_ref, dqkv_ref, *, scale, valid_len, group, heads, dh
+):
+    np_ = qkv_ref.shape[1]
+    hd = heads * dh
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    for g in range(group):
+        grads = []
+        for h in range(heads):
+            q = qkv_ref[g, :, h * dh:(h + 1) * dh]
+            k = qkv_ref[g, :, hd + h * dh:hd + (h + 1) * dh]
+            v = qkv_ref[g, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+            dout = g_ref[g, :, h * dh:(h + 1) * dh]
+            lse = lse_ref[g, :, h:h + 1]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale
+            s = jnp.where(col < valid_len, s, _NEG_INF)
+            p = jnp.exp(s - lse)
+            p = jnp.where(row < valid_len, p, 0.0)
+
+            pb = p.astype(v.dtype)
+            dv = jax.lax.dot_general(
+                pb, dout, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                dout, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = (p * (dp - delta) * scale).astype(q.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            grads.append((dq, dk, dv))
+        dqs = [g_[0] for g_ in grads]
+        dks = [g_[1] for g_ in grads]
+        dvs = [g_[2] for g_ in grads]
+        dqkv_ref[g] = jnp.concatenate(
+            [x.astype(dqkv_ref.dtype) for x in dqs + dks + dvs], axis=-1
+        )
+
+
+def _fwd_packed(qkv, valid_len, heads):
+    B, Np, F = qkv.shape
+    dh = F // (3 * heads)
+    scale = dh ** -0.5
+    G = _pick_group(B)
+    blk_in = pl.BlockSpec((G, Np, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    blk_out = pl.BlockSpec(
+        (G, Np, F // 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    blk_lse = pl.BlockSpec(
+        (G, Np, heads), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_packed, scale=scale, valid_len=valid_len, group=G,
+            heads=heads, dh=dh,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, F // 3), qkv.dtype),
+            jax.ShapeDtypeStruct((B, Np, heads), jnp.float32),
+        ),
+        grid=(B // G,),
+        in_specs=[blk_in],
+        out_specs=(blk_out, blk_lse),
+        interpret=_interpret(),
+    )(qkv)
+    return o, lse
+
+
+def _bwd_packed(qkv, lse, g, valid_len, heads):
+    B, Np, F = qkv.shape
+    dh = F // (3 * heads)
+    scale = dh ** -0.5
+    # backward holds ~3 (Np,Np) fp32 temporaries per unrolled head iteration;
+    # G>1 overflows the 16 MB VMEM scoped stack at Np=384, H=3
+    G = 1
+    blk_in = pl.BlockSpec((G, Np, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    blk_o = pl.BlockSpec(
+        (G, Np, F // 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    blk_lse = pl.BlockSpec(
+        (G, Np, heads), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_packed, scale=scale, valid_len=valid_len, group=G,
+            heads=heads, dh=dh,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Np, F), qkv.dtype),
+        grid=(B // G,),
+        in_specs=[blk_in, blk_lse, blk_o],
+        out_specs=blk_in,
+        interpret=_interpret(),
+    )(qkv, lse, g)
+    return dqkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def flash_attention_qkv(
+    qkv: jax.Array, heads: int, valid_len: int | None = None
+) -> jax.Array:
+    """Packed fused attention: qkv (B, N, 3*H*Dh) in [q|k|v] lane order ->
+    out (B, N, H*Dh).
+
+    N must be a multiple of 128 (SiT pads the sequence once at embedding);
+    ``valid_len`` masks the padding keys. NOTE: the backward kernel emits
+    dqkv with head-grads concatenated [dq_0..dq_H | dk_0.. | dv_0..], i.e.
+    the SAME lane layout as the input — no reordering needed.
+    """
+    out, _ = _qkv_vjp_fwd(qkv, heads, valid_len)
+    return out
+
+
+def _qkv_vjp_fwd(qkv, heads, valid_len):
+    B, N, F = qkv.shape
+    if F % (3 * heads) != 0:
+        raise ValueError(f"feature dim {F} not divisible by 3*heads")
+    if N % 128 != 0:
+        raise NotImplementedError("packed kernel requires N % 128 == 0")
+    if N > MAX_SINGLE_BLOCK_SEQ:
+        raise NotImplementedError(f"N > {MAX_SINGLE_BLOCK_SEQ}")
+    vl = N if valid_len is None else int(valid_len)
+    out, lse = _fwd_packed(qkv, vl, heads)
+    return out, (qkv, lse)
+
+
+def _qkv_vjp_bwd(heads, valid_len, res, g):
+    qkv, lse = res
+    vl = qkv.shape[1] if valid_len is None else int(valid_len)
+    return (_bwd_packed(qkv, lse, g, vl, heads),)
+
+
+flash_attention_qkv.defvjp(_qkv_vjp_fwd, _qkv_vjp_bwd)

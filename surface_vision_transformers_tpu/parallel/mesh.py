@@ -1,0 +1,146 @@
+"""Device mesh + sharding rules: the framework's scale-out layer.
+
+The reference is strictly single-process / single-GPU (device bind at
+tools/train.py:72; no torch.distributed anywhere — SURVEY §2). Here scale-out
+is declarative GSPMD: a ``jax.sharding.Mesh`` with axes
+
+    ('data', 'fsdp', 'model')
+
+where the batch shards over ('data', 'fsdp') (pure DP uses data only), params
+optionally shard over 'fsdp' (ZeRO-3 style) and/or 'model'
+(Megatron-style tensor parallelism over QKV/MLP), and XLA inserts the
+gradient all-reduces / all-gathers over ICI. Going multi-host or multi-slice
+is a mesh-shape change, not a code change.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "fsdp", "model")
+
+
+def make_mesh(
+    data: int = -1, fsdp: int = 1, model: int = 1, devices=None
+) -> Mesh:
+    """Build the ('data', 'fsdp', 'model') mesh. ``data=-1`` consumes all
+    remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % (fsdp * model):
+            raise ValueError(f"{n} devices not divisible by fsdp*model={fsdp * model}")
+        data = n // (fsdp * model)
+    if data * fsdp * model != n:
+        raise ValueError(
+            f"mesh {data}x{fsdp}x{model} != {n} devices"
+        )
+    arr = np.asarray(devices).reshape(data, fsdp, model)
+    return Mesh(arr, AXES)
+
+
+def batch_pspec(ndim: int) -> P:
+    """Batch arrays shard their leading dim over ('data', 'fsdp')."""
+    return P(("data", "fsdp"), *([None] * (ndim - 1)))
+
+
+def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
+    return jax.device_put(x, NamedSharding(mesh, batch_pspec(x.ndim)))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# -- parameter sharding rules -------------------------------------------------
+
+# Megatron-style TP: QKV and MLP-in shard their OUTPUT features; the
+# out-projection and MLP-out shard their INPUT features, so each layer does
+# one all-reduce per residual branch.
+_TP_RULES: list[tuple[str, P]] = [
+    ("to_qkv/kernel", P(None, "model")),
+    ("to_out/kernel", P("model", None)),
+    ("fc1/kernel", P(None, "model")),
+    ("fc1/bias", P("model")),
+    ("fc2/kernel", P("model", None)),
+    ("to_original/kernel", P(None, "model")),
+    ("to_original/bias", P("model")),
+]
+
+
+def _path_str(keypath) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+
+
+def param_pspec(
+    keypath, leaf, *, tp: bool, fsdp_size: int
+) -> P:
+    """PartitionSpec for one parameter."""
+    path = _path_str(keypath)
+    spec = [None] * np.ndim(leaf)
+    if tp:
+        for suffix, rule in _TP_RULES:
+            if path.endswith(suffix):
+                spec = list(rule) + [None] * (np.ndim(leaf) - len(rule))
+                break
+    if fsdp_size > 1:
+        # ZeRO-3: shard the largest still-unsharded, divisible axis
+        dims = sorted(
+            range(np.ndim(leaf)), key=lambda d: -np.shape(leaf)[d]
+        )
+        for d in dims:
+            if spec[d] is None and np.shape(leaf)[d] % fsdp_size == 0 and np.shape(leaf)[d] >= 2 * fsdp_size:
+                spec[d] = "fsdp"
+                break
+    return P(*spec)
+
+
+def params_pspecs(params: Any, mesh: Mesh) -> Any:
+    """PartitionSpec tree for a param pytree under this mesh."""
+    tp = mesh.shape["model"] > 1
+    fsdp_size = mesh.shape["fsdp"]
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: param_pspec(kp, leaf, tp=tp, fsdp_size=fsdp_size), params
+    )
+
+
+def params_shardings(params: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), params_pspecs(params, mesh)
+    )
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param pytree onto the mesh per the TP/FSDP rules."""
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, s), params, params_shardings(params, mesh)
+    )
+
+
+def state_shardings(state: Any, params: Any, mesh: Mesh) -> Any:
+    """Shardings for a full TrainState: params + matching optimizer moments
+    (same shape -> same spec), scalars/PRNG replicated."""
+    pspecs = params_pspecs(params, mesh)
+    shape_to_spec = {}
+    for (kp, leaf), spec in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0], jax.tree.leaves(pspecs, is_leaf=lambda x: isinstance(x, P))
+    ):
+        shape_to_spec[_path_str(kp)] = spec
+
+    def spec_for(kp, leaf):
+        # match optimizer-state leaves to params by trailing path (mu/nu/
+        # momentum buffers mirror the param tree)
+        path = _path_str(kp)
+        for ppath, spec in shape_to_spec.items():
+            if path.endswith(ppath):
+                return NamedSharding(
+                    Mesh(mesh.devices, mesh.axis_names), spec
+                )
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, state)

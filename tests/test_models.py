@@ -28,7 +28,14 @@ def test_shape_trace_subico2():
     out = model.apply(params, x)
     assert out.shape == (2, 1)
     seq = model.apply(params, x, method=SiT.encode)
-    assert seq.shape == (2, 321, 192)
+    # sequence is padded once to a tile-aligned length; 321 rows are valid
+    assert seq.shape == (2, 384, 192)
+    assert model.valid_len == 321 and model.padded_len == 384
+
+    # seq_pad=False preserves the exact reference trace
+    m2 = tiny(depth=1, seq_pad=False)
+    p2 = m2.init(jax.random.PRNGKey(0), x)
+    assert m2.apply(p2, x, method=SiT.encode).shape == (2, 321, 192)
 
 
 def test_shape_trace_subico1():
