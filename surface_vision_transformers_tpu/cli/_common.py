@@ -1,0 +1,32 @@
+"""Shared CLI plumbing: `python -m surface_vision_transformers_tpu.cli.<tool>
+<config.yml>` mirrors the reference's positional-YAML UX
+(reference: tools/train.py:443-459) with optional key overrides."""
+
+from __future__ import annotations
+
+import argparse
+
+import yaml
+
+
+def parse_config(description: str) -> dict:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("config", type=str, help="path to the YAML config")
+    p.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="dotted.key=value",
+        help="override a config value (repeatable), e.g. --set training.bs=64",
+    )
+    args = p.parse_args()
+    with open(args.config) as f:
+        raw = yaml.safe_load(f)
+    for ov in args.set:
+        key, _, val = ov.partition("=")
+        cur = raw
+        parts = key.split(".")
+        for k in parts[:-1]:
+            cur = cur.setdefault(k, {})
+        cur[parts[-1]] = yaml.safe_load(val)
+    return raw

@@ -197,6 +197,14 @@ def run_training(
                     orbax_io.save_params_npz(
                         run_dir / "best_params.npz", {"params": state.params}
                     )
+                    if is_mpp:
+                        # encoder-only export for SSL -> finetune handoff
+                        # (reference saves encoder-best.pt AND
+                        # encoder-decoder-best.pt, tools/pretrain.py:378-389)
+                        orbax_io.save_params_npz(
+                            run_dir / "encoder_best_params.npz",
+                            {"params": state.params["encoder"]},
+                        )
                 if not is_mpp and preds is not None:
                     _write_preds_csv(run_dir / "preds.csv", preds, val_labels)
 

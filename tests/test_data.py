@@ -1,0 +1,152 @@
+"""Data-layer tests: GIFTI IO, preprocessing ETL, npy compatibility, config
+loading of the reference's own YAML files."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from surface_vision_transformers_tpu.data import (
+    gifti,
+    make_norm_stats,
+    make_regression_dataset,
+    npy,
+    preprocess,
+)
+from surface_vision_transformers_tpu.geometry import load_patch_table
+from surface_vision_transformers_tpu.utils.config import from_dict, load_config
+
+
+def test_gifti_roundtrip(tmp_path):
+    arrs = [np.random.default_rng(i).standard_normal(40962).astype(np.float32)
+            for i in range(4)]
+    path = tmp_path / "sub-X_ses-1_L.shape.gii"
+    gifti.save(arrs, path)
+    img = gifti.load(path)
+    agg = img.agg_data()
+    assert agg.shape == (4, 40962)
+    np.testing.assert_array_equal(agg, np.stack(arrs))
+
+
+def test_gifti_encodings(tmp_path):
+    # handcrafted ASCII + Base64Binary + BigEndian files
+    import base64
+
+    data = np.arange(6, dtype=np.float32)
+    ascii_xml = f"""<?xml version="1.0"?>
+<GIFTI Version="1.0" NumberOfDataArrays="1">
+ <DataArray Intent="NIFTI_INTENT_NONE" DataType="NIFTI_TYPE_FLOAT32"
+  ArrayIndexingOrder="RowMajorOrder" Dimensionality="2" Dim0="2" Dim1="3"
+  Encoding="ASCII" Endian="LittleEndian">
+  <Data>{' '.join(str(float(x)) for x in data)}</Data>
+ </DataArray>
+</GIFTI>"""
+    p = tmp_path / "ascii.gii"
+    p.write_text(ascii_xml)
+    np.testing.assert_array_equal(gifti.load(p).darrays[0].data,
+                                  data.reshape(2, 3))
+
+    b64 = base64.b64encode(data.astype(">f4").tobytes()).decode()
+    be_xml = ascii_xml.replace("ASCII", "Base64Binary").replace(
+        "LittleEndian", "BigEndian"
+    ).replace(f"<Data>{' '.join(str(float(x)) for x in data)}</Data>",
+              f"<Data>{b64}</Data>")
+    p2 = tmp_path / "be.gii"
+    p2.write_text(be_xml)
+    np.testing.assert_array_equal(gifti.load(p2).darrays[0].data,
+                                  data.reshape(2, 3))
+
+
+def test_preprocess_etl_end_to_end(tmp_path):
+    """Full ETL on synthetic GIFTI files, verifying the reference's output
+    layout: (2N, C, L, V), left rows then right rows, duplicated labels."""
+    ico, sub = 4, 1  # smaller mesh: G=2562, L=80, V=45
+    table = load_patch_table(ico, sub)
+    G = 2562
+    rng = np.random.default_rng(0)
+    ids = ["CC01_100", "CC02_200", "CC03_300"]
+    labels = np.array([40.0, 30.5, 36.25], np.float32)
+
+    gdir = tmp_path / "giftis" / "regression_template_space_features"
+    gdir.mkdir(parents=True)
+    truth = {}
+    for sid in ids:
+        sub_, ses = sid.split("_")
+        for hemi in ("L", "R"):
+            arrs = rng.standard_normal((5, G)).astype(np.float32)  # 5 metrics
+            truth[(sid, hemi)] = arrs[:4]
+            gifti.save(list(arrs), gdir / f"sub-{sub_}_ses-{ses}_{hemi}.shape.gii")
+
+    ldir = tmp_path / "labels" / "scan_age"
+    (ldir / "template").mkdir(parents=True)
+    with open(ldir / "train.csv", "w") as f:
+        f.write("ids,labels\n")
+        for sid, lab in zip(ids, labels):
+            f.write(f"{sid},{lab}\n")
+    means = np.zeros((1, 4, 1), np.float32)
+    stds = np.ones((1, 4, 1), np.float32)
+    np.save(ldir / "template" / "means.npy", means)
+    np.save(ldir / "template" / "stds.npy", stds)
+
+    config = {
+        "resolution": {"ico": ico, "sub_ico": sub},
+        "data": {
+            "data_path": str(tmp_path / "giftis"),
+            "label_path": str(tmp_path / "labels"),
+            "task": "scan_age",
+            "configuration": "template",
+            "split": "train",
+            "channels": 4,
+        },
+        "output": {"folder": str(tmp_path / "out" / "{}" / "{}")},
+    }
+    info = preprocess.run(config, export_raw=True)
+    assert info["shape"] == (6, 4, 80, 45)
+
+    data, out_labels = npy.load_split(Path(info["output_folder"]), "train")
+    np.testing.assert_array_equal(out_labels, np.concatenate([labels, labels]))
+    # left hemisphere of subject 1 in row 1, right in row 1+N (reference
+    # layout, tools/preprocessing.py:83-84); patch 5 must equal the gather
+    np.testing.assert_allclose(
+        data[1, :, 5, :], truth[(ids[1], "L")][:, table.indices[5]], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        data[1 + 3, :, 5, :], truth[(ids[1], "R")][:, table.indices[5]], rtol=1e-6
+    )
+
+    # raw export feeds the on-device path and must patchify identically
+    raw = np.load(Path(info["output_folder"]) / "train_raw.npy")
+    assert raw.shape == (6, 4, G)
+    np.testing.assert_allclose(raw[:, :, table.indices[5]], data[:, :, 5, :],
+                               rtol=1e-6)
+
+
+def test_reference_configs_load(reference_dir):
+    for rel in (
+        "config/SiT/training/hparams.yml",
+        "config/SiT/pretraining/mpp.yml",
+        "config/SiT/testing/hparams.yml",
+    ):
+        exp = load_config(reference_dir / rel)
+        assert exp.model.dim == 192
+        assert (exp.model.num_patches, exp.model.num_vertices) == (320, 153)
+    assert load_config(reference_dir / "config/SiT/pretraining/mpp.yml").is_pretraining
+
+
+def test_shipped_configs_load():
+    root = Path(__file__).parent.parent / "configs"
+    for p in root.rglob("*.yml"):
+        if "preprocessing" in str(p):
+            with open(p) as f:
+                yaml.safe_load(f)
+        else:
+            from_dict(yaml.safe_load(open(p)))
+
+
+def test_norm_stats_layout():
+    data, _ = make_regression_dataset(8, num_patches=20, num_vertices=9)
+    means, stds = make_norm_stats(data)
+    assert means.shape == (1, 4, 1) and stds.shape == (1, 4, 1)

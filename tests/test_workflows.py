@@ -1,0 +1,89 @@
+"""Workflow tests: SSL -> finetune handoff (BASELINE config 3) and CLI
+entry-point smoke tests."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from surface_vision_transformers_tpu.data import make_regression_dataset
+from surface_vision_transformers_tpu.train import runner
+from surface_vision_transformers_tpu.utils.config import from_dict
+
+L, V, C = 20, 15, 4  # ico2 / sub0 geometry
+
+
+def base_raw(**training):
+    return {
+        "resolution": {"ico": 2, "sub_ico": 0},
+        "transformer": {"dim": 16, "depth": 1, "heads": 2, "mlp_dim": 32,
+                        "dim_head": 8},
+        "training": {"LR": 1e-3, "bs": 16, "epochs": 2, "val_epoch": 1,
+                     "seed": 0, **training},
+        "optimisation": {"optimiser": "Adam"},
+        "tpu": {"compute_dtype": "float32"},
+        "logging": {"folder_to_save_model": "logs-test"},
+    }
+
+
+def test_mpp_then_finetune(tmp_path):
+    data, labels = make_regression_dataset(
+        48, num_patches=L, num_vertices=V, label_range=(-1, 1), seed=0
+    )
+    ds = {"train": (data[:32], labels[:32]), "validation": (data[32:], labels[32:])}
+
+    # 1. pretrain MPP
+    raw = base_raw()
+    raw["SSL"] = "mpp"
+    raw["pretraining_mpp"] = {"mask_prob": 0.5, "replace_prob": 0.8,
+                              "swap_prob": 0.02}
+    res = runner.run_training(from_dict(raw), datasets=ds,
+                              run_root=tmp_path / "ssl", progress=False)
+    enc_npz = Path(res["run_dir"]) / "encoder_best_params.npz"
+    assert enc_npz.exists()
+
+    # 2. finetune from the SSL encoder
+    raw_ft = base_raw(load_weights_ssl=True)
+    raw_ft["weights"] = {"ssl_mpp": str(enc_npz)}
+    res_ft = runner.run_training(from_dict(raw_ft), datasets=ds,
+                                 run_root=tmp_path / "ft", progress=False)
+    assert res_ft["training_finished"]
+    assert "-ssl-dhcp" in res_ft["run_dir"]  # run naming carries SSL suffix
+    assert np.isfinite(res_ft["best_mae"])
+
+
+def test_cli_train_smoke(tmp_path):
+    """Drive the real CLI surface in a subprocess on CPU."""
+    data, labels = make_regression_dataset(24, num_patches=L, num_vertices=V,
+                                           label_range=(-1, 1), seed=0)
+    ddir = tmp_path / "data"
+    ddir.mkdir()
+    np.save(ddir / "train_data.npy", data[:16])
+    np.save(ddir / "train_labels.npy", labels[:16])
+    np.save(ddir / "validation_data.npy", data[16:])
+    np.save(ddir / "validation_labels.npy", labels[16:])
+
+    raw = base_raw(epochs=1)
+    raw["data"] = {"data_path": str(ddir), "task": "scan_age",
+                   "configuration": "template"}
+    raw["logging"] = {"folder_to_save_model": str(tmp_path / "logs")}
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(yaml.safe_dump(raw))
+
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+           "PYTHONPATH": str(Path(__file__).parent.parent),
+           "HOME": str(tmp_path)}
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.argv=['train', %r];"
+         "from surface_vision_transformers_tpu.cli.train import main; main()"
+         % str(cfg)],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "training_finished" in out.stdout
