@@ -147,10 +147,23 @@ def run_training(
     run_dir.mkdir(parents=True, exist_ok=True)
     logger = MetricLogger(run_dir)
 
-    table = None
-    if train_data.ndim == 3:  # raw-vertex input -> on-device patchify
-        table = load_patch_table(exp.ico, exp.sub_ico).indices
-    trainer = Trainer(exp, mesh=mesh, patch_table=table)
+    table = load_patch_table(exp.ico, exp.sub_ico).indices
+    augment = None
+    if exp.augment.enabled:
+        from surface_vision_transformers_tpu.data.augment import SurfaceAugment
+
+        augment = SurfaceAugment(
+            ico=exp.ico,
+            patch_table=table,
+            exact_rotations=exp.augment.exact_rotations,
+            num_warps=exp.augment.num_warps,
+            max_warp_deg=exp.augment.max_warp_deg,
+            warp_prob=exp.augment.warp_prob,
+            seed=exp.augment.seed,
+        )
+    if train_data.ndim != 3:  # pre-patched input -> no on-device patchify
+        table = None
+    trainer = Trainer(exp, mesh=mesh, patch_table=table, augment=augment)
     state = trainer.init_state(train_data[:1])
     state = _load_initial_weights(exp, trainer, state)
 

@@ -87,9 +87,11 @@ class Trainer:
         model: Optional[SiT] = None,
         mesh=None,
         patch_table=None,
+        augment: Optional[Callable] = None,
     ):
         self.exp = exp
         self.mesh = mesh
+        self.augment = augment  # callable(key, batch) -> batch, train-only
         self.model = model or SiT.from_config(exp, patch_table=patch_table)
         self.task = "mpp" if exp.is_pretraining else "regression"
         if self.task == "mpp":
@@ -189,6 +191,9 @@ class Trainer:
                     else None
                 )
                 rng, step_rng = jax.random.split(state.rng)
+                if self.augment is not None:
+                    aug_rng = jax.random.fold_in(step_rng, 7)
+                    batch = self.augment(aug_rng, batch)
 
                 def loss_for_grad(p):
                     return self._loss(p, batch, tgt, b_w, step_rng, deterministic)

@@ -126,6 +126,19 @@ class TrainingConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """On-device rotation/warp augmentation (new capability; the reference
+    has none — BASELINE config 2 requires it for native-space training)."""
+
+    enabled: bool = False
+    exact_rotations: bool = True
+    num_warps: int = 8
+    max_warp_deg: float = 15.0
+    warp_prob: float = 0.5
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class TPUConfig:
     """TPU-native knobs with no reference counterpart."""
 
@@ -170,6 +183,7 @@ class Experiment:
     data: DataConfig
     tpu: TPUConfig
     mpp: MPPConfig | None
+    augment: AugmentConfig = AugmentConfig()
     ico: int = 6
     sub_ico: int = 2
     logging_folder: str = "logs/SiT"
@@ -287,6 +301,16 @@ def from_dict(raw: dict) -> Experiment:
             optimize_decoder=bool(m.get("optimize_decoder", True)),
         )
 
+    aug_raw = raw.get("augmentation", {})
+    augment = AugmentConfig(
+        enabled=bool(aug_raw.get("enabled", False)),
+        exact_rotations=bool(aug_raw.get("exact_rotations", True)),
+        num_warps=int(aug_raw.get("num_warps", 8)),
+        max_warp_deg=float(aug_raw.get("max_warp_deg", 15.0)),
+        warp_prob=float(aug_raw.get("warp_prob", 0.5)),
+        seed=int(aug_raw.get("seed", 0)),
+    )
+
     return Experiment(
         model=model,
         optim=optim,
@@ -294,6 +318,7 @@ def from_dict(raw: dict) -> Experiment:
         data=data,
         tpu=tpu,
         mpp=mpp,
+        augment=augment,
         ico=ico,
         sub_ico=sub_ico,
         logging_folder=_get(raw, "logging.folder_to_save_model", "logs/SiT"),

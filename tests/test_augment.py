@@ -1,0 +1,117 @@
+"""Rotation/warp augmentation tests (new capability; BASELINE config 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surface_vision_transformers_tpu.data.augment import SurfaceAugment
+from surface_vision_transformers_tpu.geometry import load_patch_table, rotations as rot
+from surface_vision_transformers_tpu.geometry.icosphere import icosphere
+from surface_vision_transformers_tpu.ops import patchify
+
+ICO = 3  # G = 642: fast tests
+
+
+def test_rotation_group_properties():
+    mats = rot.icosahedral_rotation_group()
+    assert mats.shape == (60, 3, 3)
+    # all proper rotations
+    for R in mats:
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+        assert np.linalg.det(R) > 0.99
+    # closed under composition (tolerance match)
+    prod = mats[3] @ mats[7]
+    assert min(np.abs(prod - R).max() for R in mats) < 1e-9
+
+
+def test_exact_permutations_are_permutations():
+    perms = rot.exact_rotation_permutations(ICO)
+    G = perms.shape[1]
+    for r in (0, 13, 59):
+        assert np.unique(perms[r]).size == G
+    # group property: data is preserved under any perm + its inverse partner
+    verts, _ = icosphere(ICO)
+    verts = np.asarray(verts)
+    mats = rot.icosahedral_rotation_group()
+    # check geometric consistency: verts[perm[r, i]] == R^T verts[i]
+    r = 5
+    np.testing.assert_allclose(
+        verts[perms[r]], verts @ mats[r], atol=1e-9
+    )
+
+
+def test_barycentric_table_identity_and_smoothness():
+    # identity rotation -> exact identity table
+    idx, w = rot.barycentric_resample_table(ICO, np.eye(3))
+    vals = np.random.default_rng(0).standard_normal(642).astype(np.float32)
+    out = (vals[idx] * w).sum(-1)
+    np.testing.assert_allclose(out, vals, atol=1e-5)
+
+    # small rotation of a smooth function ~ analytic rotation of the field
+    verts = np.asarray(icosphere(ICO)[0])
+    R = rot.random_rotation_matrix(np.random.default_rng(1), 10.0)
+    field = verts[:, 0] ** 2 + 0.5 * verts[:, 1]  # smooth on the sphere
+    idx, w = rot.barycentric_resample_table(ICO, R)
+    resampled = (field[idx] * w).sum(-1)
+    truth = ((verts @ R)[:, 0] ** 2 + 0.5 * (verts @ R)[:, 1])
+    assert np.abs(resampled - truth).max() < 0.02  # interpolation error only
+
+
+def test_augment_raw_and_patched_agree():
+    """Augmenting raw vertices then patchifying == augmenting pre-patched."""
+    table = load_patch_table(ICO, 1)  # canonical ordering (generated)
+    aug_raw = SurfaceAugment(ico=ICO, patch_table=table.indices, num_warps=2,
+                             warp_prob=1.0, seed=0)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 642))
+
+    out_raw = aug_raw(key, x)  # (4, 2, 642)
+    patched_then = np.asarray(patchify(out_raw, table.indices))  # (4, L, V*C)
+
+    x4 = np.asarray(patchify(x, table.indices)).reshape(4, 80, -1, 2)
+    x4 = jnp.asarray(x4.transpose(0, 3, 1, 2))  # (4, 2, L, V)
+    out_patched = aug_raw(key, x4)
+    flat = np.asarray(out_patched).transpose(0, 2, 3, 1).reshape(4, 80, -1)
+    np.testing.assert_allclose(patched_then, flat, atol=1e-5)
+
+
+def test_augment_preserves_statistics():
+    aug = SurfaceAugment(ico=ICO, num_warps=0, warp_prob=0.0, seed=0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 2, 642))
+    out = aug(jax.random.PRNGKey(1), x)
+    # exact rotations only permute: per-sample sets of values are identical
+    for b in range(8):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(out[b, 0])), np.sort(np.asarray(x[b, 0])),
+            atol=0,
+        )
+
+
+def test_augmented_training_runs():
+    from surface_vision_transformers_tpu.data import make_regression_dataset
+    from surface_vision_transformers_tpu.train import runner
+    from surface_vision_transformers_tpu.utils.config import from_dict
+    import tempfile
+
+    raw = {
+        "resolution": {"ico": 3, "sub_ico": 1},
+        "transformer": {"dim": 16, "depth": 1, "heads": 2, "mlp_dim": 32,
+                        "dim_head": 8},
+        "training": {"LR": 1e-3, "bs": 8, "epochs": 2, "val_epoch": 1},
+        "optimisation": {"optimiser": "Adam"},
+        "tpu": {"compute_dtype": "float32"},
+        "augmentation": {"enabled": True, "num_warps": 2, "warp_prob": 0.5},
+    }
+    exp = from_dict(raw)
+    # raw-vertex dataset so both patchify and augmentation run on device
+    data, labels = make_regression_dataset(
+        24, raw_vertices=642, num_channels=4, label_range=(-1, 1), seed=0
+    )
+    with tempfile.TemporaryDirectory() as td:
+        res = runner.run_training(
+            exp, datasets={"train": (data[:16], labels[:16]),
+                           "validation": (data[16:], labels[16:])},
+            run_root=td, progress=False,
+        )
+    assert res["training_finished"] and np.isfinite(res["best_mae"])
