@@ -61,8 +61,11 @@ def load_subject_hemispheres(
 def patchify_stack(
     vertex_data: np.ndarray, indices: np.ndarray
 ) -> np.ndarray:
-    """(N, C, G) -> (N, C, L, V) via one vectorized gather."""
-    return np.ascontiguousarray(vertex_data[:, :, indices])
+    """(N, C, G) -> (N, C, L, V); threaded C++ gather when the native library
+    is available (data.native), numpy fancy-indexing otherwise."""
+    from surface_vision_transformers_tpu.data import native
+
+    return native.gather_patches(vertex_data, indices)
 
 
 def run(config: dict, *, export_raw: bool = False) -> dict:

