@@ -82,13 +82,13 @@ def main():
     }
 
     best_tput, best_bs = 0.0, 0
-    for bs in (256, 512, 1024):
+    for bs in (256, 1024):  # two points: latency-friendly and saturating
         x = jax.random.normal(key, (bs, 4, 40962), jnp.float32)
 
         def step(p, x, i):
             return model.apply(p, x * (1 + i.astype(jnp.float32) * 1e-6)).mean().astype(jnp.float32)
 
-        dt = timed_scan(step, (params, x), iters=51 if bs <= 512 else 21)
+        dt = timed_scan(step, (params, x), iters=31 if bs <= 512 else 11)
         tput = bs / dt
         details["inference"][bs] = {
             "ms_per_batch": round(dt * 1e3, 3),
@@ -105,8 +105,9 @@ def main():
         "optimisation": {"optimiser": "Adam"},
     })
     trainer = Trainer(exp, model=model)
-    xb = jax.random.normal(key, (512, 4, 40962), jnp.float32)
-    yb = jax.random.normal(key, (512,))
+    n_train = 2560  # 10 steps of bs=256 amortizes the relay dispatch latency
+    xb = jax.random.normal(key, (n_train, 4, 40962), jnp.float32)
+    yb = jax.random.normal(key, (n_train,))
     state = trainer.init_state(xb[:1])
     t0 = time.perf_counter()
     state, _ = trainer.train_epoch(state, xb, yb)  # compile
@@ -116,8 +117,8 @@ def main():
     jax.block_until_ready(state.params)
     epoch_s = time.perf_counter() - t0
     details["train"] = {
-        "bs": 256, "steps": 2, "epoch_s": round(epoch_s, 4),
-        "surfaces_per_s_approx": round(512 / epoch_s, 1),
+        "bs": 256, "steps": n_train // 256, "epoch_s": round(epoch_s, 4),
+        "surfaces_per_s": round(n_train / epoch_s, 1),
         "compile_s": round(compile_s, 1),
     }
 

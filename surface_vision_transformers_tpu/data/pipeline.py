@@ -1,0 +1,101 @@
+"""Input pipelines: device-resident (default) and host-streaming datasets.
+
+The default training path keeps the whole dataset in HBM and scans epochs on
+device (dHCP-scale data is a few hundred MB — SURVEY §6). For datasets that
+exceed HBM (e.g. UKB-scale surfaces or ico-7 meshes), ``StreamingLoader``
+iterates shuffled, padded batches from host memory (plain arrays or np.memmap)
+with double-buffered async ``device_put`` so the H2D copy of batch k+1
+overlaps the compute of batch k. The reference's equivalent is a
+torch DataLoader with 16 worker processes (reference: tools/train.py:112-122);
+here the loader is zero-copy from memmaps and the overlap comes from XLA's
+async dispatch rather than worker processes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class StreamingLoader:
+    """Shuffled, weight-padded batch iterator with async device placement.
+
+    Yields (batch, targets, weights) device arrays; the last partial batch is
+    padded with weight-0 samples (same convention as the on-device epoch
+    scan, so metrics and gradient scales are identical).
+    """
+
+    def __init__(
+        self,
+        data: np.ndarray,
+        targets: Optional[np.ndarray] = None,
+        *,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        sharding=None,
+        drop_remainder: bool = False,
+    ):
+        if targets is not None and data.shape[0] != targets.shape[0]:
+            raise ValueError(
+                f"{data.shape[0]} samples vs {targets.shape[0]} targets"
+            )
+        self.data = data
+        self.targets = targets
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.sharding = sharding
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+    @property
+    def num_samples(self) -> int:
+        return self.data.shape[0]
+
+    def steps_per_epoch(self) -> int:
+        n = self.num_samples
+        return n // self.batch_size if self.drop_remainder else math.ceil(
+            n / self.batch_size
+        )
+
+    def _put(self, arr: np.ndarray) -> jax.Array:
+        if self.sharding is not None:
+            return jax.device_put(arr, self.sharding)
+        return jnp.asarray(arr)
+
+    def __iter__(self) -> Iterator[tuple]:
+        n = self.num_samples
+        bs = self.batch_size
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+
+        steps = self.steps_per_epoch()
+        pending = None
+        for s in range(steps):
+            idx = order[s * bs : (s + 1) * bs]
+            w = np.ones(bs, np.float32)
+            if idx.size < bs:
+                w[idx.size :] = 0.0
+                idx = np.concatenate([idx, np.zeros(bs - idx.size, idx.dtype)])
+            batch = self._put(np.ascontiguousarray(self.data[idx]))
+            tgt = (
+                self._put(np.ascontiguousarray(self.targets[idx]))
+                if self.targets is not None
+                else None
+            )
+            wd = self._put(w)
+            # double buffer: hold one prepared batch so the H2D copy of the
+            # next batch overlaps the consumer's compute on the current one
+            if pending is not None:
+                yield pending
+            pending = (batch, tgt, wd)
+        if pending is not None:
+            yield pending

@@ -350,8 +350,8 @@ def _bwd_packed(qkv, lse, g, valid_len, heads):
     dh = F // (3 * heads)
     scale = dh ** -0.5
     # backward holds ~3 (Np,Np) fp32 temporaries per unrolled head iteration;
-    # G>1 overflows the 16 MB VMEM scoped stack at Np=384, H=3
-    G = 1
+    # G=4 overflows the 16 MB VMEM scoped stack at Np=384, H=3; G=2 fits
+    G = 2 if B % 2 == 0 else 1
     blk_in = pl.BlockSpec((G, Np, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     blk_o = pl.BlockSpec(
         (G, Np, F // 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM

@@ -132,6 +132,8 @@ def run_training(
     from surface_vision_transformers_tpu.utils.env import enable_compilation_cache
 
     enable_compilation_cache()
+    if exp.tpu.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     t_start = time.time()
     datasets = datasets or load_datasets(exp)
     train_data, train_labels = datasets["train"]
@@ -177,8 +179,12 @@ def run_training(
     is_mpp = trainer.task == "mpp"
     metric_name = "loss" if is_mpp else "mae"
 
+    from surface_vision_transformers_tpu.obs.logging import profile_trace
+
     for epoch in range(exp.training.epochs):
-        state, m = trainer.train_epoch(state, d_train, l_train)
+        with profile_trace(run_dir / "profile",
+                           enabled=(epoch == exp.tpu.profile_epoch)):
+            state, m = trainer.train_epoch(state, d_train, l_train)
         if not math.isfinite(m.loss):
             raise FloatingPointError(
                 f"non-finite training loss at epoch {epoch}: {m.loss} "

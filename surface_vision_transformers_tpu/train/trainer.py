@@ -21,6 +21,7 @@ single Trainer covers both via a task switch, redesigned TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Callable, Optional
 
@@ -231,6 +232,53 @@ class Trainer:
         idx, w = _pad_permutation(perm_rng, n, bs)
         state, loss, mae_sum = self._epoch_fns[key](state, data, targets, idx, w)
         return state, EpochMetrics(loss=float(loss), mae=float(mae_sum) / n)
+
+    # -- streaming epoch (host-resident datasets, e.g. bigger than HBM) ------
+
+    def _build_step_fn(self):
+        deterministic = (
+            self.exp.model.dropout == 0.0 and self.exp.model.emb_dropout == 0.0
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: TrainState, batch, tgt, w):
+            rng, step_rng = jax.random.split(state.rng)
+            if self.augment is not None:
+                batch = self.augment(jax.random.fold_in(step_rng, 7), batch)
+
+            def loss_for_grad(p):
+                return self._loss(p, batch, tgt, w, step_rng, deterministic)
+
+            (loss, mae), grads = jax.value_and_grad(loss_for_grad, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1, rng=rng),
+                loss,
+                mae * w.sum(),
+            )
+
+        return step_fn
+
+    def train_epoch_streaming(self, state: TrainState, loader) -> tuple[TrainState, EpochMetrics]:
+        """One epoch over a data.pipeline.StreamingLoader (host-resident
+        data); per-step jit with donated state, H2D overlapped by the loader."""
+        if not hasattr(self, "_step_fn"):
+            self._step_fn = self._build_step_fn()
+        losses, mae_sums = [], []
+        for batch, tgt, w in loader:
+            state, loss, mae_sum = self._step_fn(state, batch, tgt, w)
+            losses.append(loss)
+            mae_sums.append(mae_sum)
+        n = loader.num_samples
+        loss = float(jnp.stack(losses).mean())
+        mae = float(jnp.stack(mae_sums).sum()) / n
+        return state, EpochMetrics(loss=loss, mae=mae)
 
     # -- evaluation ----------------------------------------------------------
 

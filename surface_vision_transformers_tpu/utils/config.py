@@ -152,6 +152,8 @@ class TPUConfig:
     mesh_model: int = 1
     epoch_on_device: bool = True  # lax.scan over the epoch's batches
     torch_init: bool = True  # mirror torch Linear/LayerNorm init for recipe parity
+    debug_nans: bool = False  # jax_debug_nans sanitizer (SURVEY §5)
+    profile_epoch: int = -1  # write a jax.profiler trace for this epoch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -289,6 +291,8 @@ def from_dict(raw: dict) -> Experiment:
         mesh_model=int(tp.get("mesh_model", 1)),
         epoch_on_device=bool(tp.get("epoch_on_device", True)),
         torch_init=bool(tp.get("torch_init", True)),
+        debug_nans=bool(tp.get("debug_nans", False)),
+        profile_epoch=int(tp.get("profile_epoch", -1)),
     )
 
     mpp = None

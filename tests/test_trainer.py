@@ -146,3 +146,44 @@ def test_optimizers_and_schedules():
     sch = build_schedule(OptimConfig(schedule="cosine", lr=1.0, cosine_t_max=100,
                                      cosine_eta_min=0.1))
     assert abs(float(sch(100)) - 0.1) < 1e-6
+
+
+def test_streaming_epoch_matches_on_device(synth):
+    """Streaming (host) epoch must produce the same kind of learning signal
+    and identical metrics semantics as the on-device scan."""
+    from surface_vision_transformers_tpu.data.pipeline import StreamingLoader
+
+    data, labels = synth
+    exp = from_dict(tiny_config(bs=36))  # exercises the padded last batch
+    trainer = Trainer(exp, model=_model_override(exp))
+    state = trainer.init_state(data[:1])
+
+    loader = StreamingLoader(data, labels, batch_size=36, shuffle=True, seed=0)
+    state, m = trainer.train_epoch_streaming(state, loader)
+    assert np.isfinite(m.loss) and np.isfinite(m.mae)
+    m_eval, _ = trainer.evaluate(state, jnp.asarray(data), jnp.asarray(labels))
+
+    # same update count and metric scale as the on-device path
+    trainer2 = Trainer(exp, model=_model_override(exp))
+    state2 = trainer2.init_state(data[:1])
+    state2, m2 = trainer2.train_epoch(state2, jnp.asarray(data), jnp.asarray(labels))
+    assert int(state.step) == int(state2.step)
+    assert abs(m.mae - m2.mae) < 0.25  # different shuffles, same scale
+
+
+def test_streaming_loader_padding_and_memmap(tmp_path):
+    from surface_vision_transformers_tpu.data.pipeline import StreamingLoader
+
+    data = np.arange(10 * 2, dtype=np.float32).reshape(10, 2)
+    path = tmp_path / "data.npy"
+    np.save(path, data)
+    mm = np.load(path, mmap_mode="r")
+    loader = StreamingLoader(mm, np.arange(10.0, dtype=np.float32),
+                             batch_size=4, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    b, t, w = batches[-1]
+    assert b.shape == (4, 2)
+    np.testing.assert_array_equal(np.asarray(w), [1, 1, 0, 0])
+    with pytest.raises(ValueError):
+        StreamingLoader(data, np.arange(9.0), batch_size=4)
