@@ -62,6 +62,7 @@ def main():
     enable_compilation_cache()
     from surface_vision_transformers_tpu.geometry import load_patch_table
     from surface_vision_transformers_tpu.models import SiT
+    from surface_vision_transformers_tpu.models.fused import fused_forward
     from surface_vision_transformers_tpu.train import Trainer
     from surface_vision_transformers_tpu.utils.config import from_dict
 
@@ -76,7 +77,7 @@ def main():
     details = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
-        "model": "SiT-tiny sub-ico-2, fused raw patchify + flash-attn encode, bf16",
+        "model": "SiT-tiny sub-ico-2, fused patchify + megakernel blocks, bf16",
         "method": "on-device lax.scan loop, (t_n - t_1)/(n-1)",
         "inference": {},
     }
@@ -86,7 +87,9 @@ def main():
         x = jax.random.normal(key, (bs, 4, 40962), jnp.float32)
 
         def step(p, x, i):
-            return model.apply(p, x * (1 + i.astype(jnp.float32) * 1e-6)).mean().astype(jnp.float32)
+            return fused_forward(
+                model, p, x * (1 + i.astype(jnp.float32) * 1e-6)
+            ).mean().astype(jnp.float32)
 
         dt = timed_scan(step, (params, x), iters=31 if bs <= 512 else 11)
         tput = bs / dt

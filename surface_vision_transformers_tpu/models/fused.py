@@ -1,0 +1,85 @@
+"""Fused inference runner: the whole SiT forward over megakernel blocks.
+
+Executes a SiT parameter tree (same tree the flax modules train) through
+``ops.pallas.fused_block`` — one Pallas kernel per transformer block, with
+activations resident in VMEM across LN/QKV/attention/projection/MLP — for
+evaluation and serving. Numerics match ``SiT.apply`` (fp32 LN eps 1e-5, fp32
+softmax, exact GELU) at bf16 compute; gradients are NOT defined through this
+path (train with the composable modules; their attention kernel has a custom
+VJP).
+
+Usage::
+
+    out = fused_forward(model, params, x)   # == model.apply(params, x)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from surface_vision_transformers_tpu.models.sit import SiT
+from surface_vision_transformers_tpu.ops import fused_patch_embed, rearrange_patched
+from surface_vision_transformers_tpu.ops.pallas.fused_block import fused_block
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    h = x.astype(jnp.float32)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    return (h - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def fused_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
+    """Inference-only forward with fused-block kernels. x: raw (B, C, G) or
+    pre-patched (B, C, L, V); returns (B, num_classes)."""
+    p = variables["params"] if "params" in variables else variables
+    dt = model.dtype
+    if model.padded_len % 128 != 0:
+        raise NotImplementedError("fused_forward requires seq_pad=True")
+
+    if x.ndim == 3:
+        tokens = fused_patch_embed(
+            x, model.patch_table, p["patch_embedding_kernel"],
+            p["patch_embedding_bias"], means=model.norm_means,
+            stds=model.norm_stds, compute_dtype=dt,
+        )
+    else:
+        tokens = rearrange_patched(x).astype(dt)
+        tokens = tokens @ p["patch_embedding_kernel"].astype(dt) + p[
+            "patch_embedding_bias"
+        ].astype(dt)
+
+    B, n = tokens.shape[0], tokens.shape[1]
+    cls = jnp.broadcast_to(p["cls_token"].astype(dt), (B, 1, model.dim))
+    h = jnp.concatenate([cls, tokens], axis=1)
+    h = h + p["pos_embedding"][:, : n + 1].astype(dt)
+    if model.padded_len > n + 1:
+        h = jnp.pad(h, [(0, 0), (0, model.padded_len - (n + 1)), (0, 0)])
+
+    valid = model.valid_len if model.padded_len > model.valid_len else None
+    enc = p["encoder"]
+    for i in range(model.depth):
+        a = enc[f"layers_{i}_attn"]
+        m = enc[f"layers_{i}_mlp"]
+        h = fused_block(
+            h,
+            a["norm"]["scale"], a["norm"]["bias"], a["to_qkv"]["kernel"].astype(dt),
+            a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+            m["norm"]["scale"], m["norm"]["bias"],
+            m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
+            m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+            heads=model.heads, dim_head=model.dim_head, valid_len=valid,
+        )
+
+    if model.pool == "mean":
+        pooled = jnp.mean(h[:, : model.valid_len], axis=1)
+    else:
+        pooled = h[:, 0]
+    out = _layer_norm(
+        pooled, p["head_norm"]["scale"].astype(jnp.float32),
+        p["head_norm"]["bias"].astype(jnp.float32),
+    )
+    return out @ p["head"]["kernel"].astype(jnp.float32) + p["head"][
+        "bias"
+    ].astype(jnp.float32)

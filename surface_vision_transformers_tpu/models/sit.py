@@ -81,7 +81,8 @@ class Attention(nn.Module):
             return False
         if self.precision in (jax.lax.Precision.HIGHEST, "highest"):
             return False
-        if seq_len % 128 != 0:
+        if seq_len % 128 != 0 or seq_len > 1536:
+            # long sequences take the tiled kernel via multi_head_attention
             return False
         if self.attn_backend == "pallas":
             return True
@@ -94,7 +95,8 @@ class Attention(nn.Module):
             torch_linear_kernel_init if self.torch_init else nn.initializers.lecun_normal()
         )
         norm = nn.LayerNorm(
-            dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
+            name="norm",
         )
         h = norm(x).astype(self.dtype)
         qkv = nn.Dense(
@@ -159,7 +161,8 @@ class FeedForward(nn.Module):
             torch_linear_kernel_init if self.torch_init else nn.initializers.lecun_normal()
         )
         h = nn.LayerNorm(
-            dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
+            name="norm",
         )(x).astype(self.dtype)
         h = nn.Dense(
             self.hidden_dim,
@@ -341,7 +344,8 @@ class SiT(nn.Module):
             name="encoder",
         )
         self.head_norm = nn.LayerNorm(
-            dtype=jnp.float32, param_dtype=self.param_dtype, name="head_norm"
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
+            name="head_norm",
         )
         self.head = nn.Dense(
             self.num_classes,

@@ -77,9 +77,13 @@ def multi_head_attention(
     if backend == "pallas":
         try:
             from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+                MAX_SINGLE_BLOCK_SEQ,
                 flash_attention,
+                flash_attention_tiled,
             )
 
+            if q.shape[2] > MAX_SINGLE_BLOCK_SEQ:
+                return flash_attention_tiled(q, k, v, valid_len)
             return flash_attention(q, k, v, valid_len)
         except (ImportError, NotImplementedError):
             backend = "xla"

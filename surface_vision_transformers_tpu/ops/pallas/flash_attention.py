@@ -409,3 +409,239 @@ def _qkv_vjp_bwd(heads, valid_len, res, g):
 
 
 flash_attention_qkv.defvjp(_qkv_vjp_fwd, _qkv_vjp_bwd)
+
+
+# -- blockwise (tiled) variant for long sequences -----------------------------
+#
+# Beyond MAX_SINGLE_BLOCK_SEQ the (N, N) logits tile no longer fits VMEM, so
+# the canonical flash-attention tiling applies: grid over (batch*head,
+# q-tile), streaming KV tiles through VMEM with running max/sum (online
+# softmax). Covers sub-ico-4 (L=5120) and any ico-7 grid. Backward runs two
+# passes (dq over q-tiles; dk/dv over kv-tiles), recomputing P from the saved
+# logsumexp.
+
+_QB = 512
+_KB = 512
+
+
+def _fwd_tiled_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, valid_len):
+    # q_ref: (1, QB, D); k_ref/v_ref: (1, Nk, D) full rows for this (b,h)
+    q = q_ref[0]
+    nk = k_ref.shape[1]
+    qb, d = q.shape
+    num_kb = nk // _KB
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kb * _KB, _KB), :]
+        v = v_ref[0, pl.ds(kb * _KB, _KB), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = kb * _KB + jax.lax.broadcasted_iota(jnp.int32, (qb, _KB), 1)
+        s = jnp.where(col < valid_len, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((qb, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((qb, 1), jnp.float32)
+    a0 = jnp.zeros((qb, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, a0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _bwd_tiled_dq_kernel(q_ref, k_ref, v_ref, lse_ref, g_ref, delta_ref,
+                         dq_ref, *, scale, valid_len):
+    q = q_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]  # rowsum(dO * O), computed once outside
+    nk = k_ref.shape[1]
+    qb, d = q.shape
+    num_kb = nk // _KB
+
+    def pass2(kb, dq):
+        k = k_ref[0, pl.ds(kb * _KB, _KB), :]
+        v = v_ref[0, pl.ds(kb * _KB, _KB), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = kb * _KB + jax.lax.broadcasted_iota(jnp.int32, (qb, _KB), 1)
+        s = jnp.where(col < valid_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            g.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, num_kb, pass2, jnp.zeros((qb, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_tiled_dkv_kernel(q_ref, k_ref, v_ref, lse_ref, g_ref, delta_ref,
+                          dk_ref, dv_ref, *, scale, valid_len):
+    # grid over kv tiles: k_ref/v_ref are (1, KB, D); q/g/lse/delta full rows
+    k = k_ref[0]
+    v = v_ref[0]
+    nq = q_ref.shape[1]
+    kb_idx = pl.program_id(1)
+    kbase = kb_idx * _KB
+    col = kbase + jax.lax.broadcasted_iota(jnp.int32, (_QB, _KB), 1)
+    num_qb = nq // _QB
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * _QB, _QB), :]
+        g = g_ref[0, pl.ds(qb * _QB, _QB), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * _QB, _QB), :]
+        delta = delta_ref[0, pl.ds(qb * _QB, _QB), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(col < valid_len, s, _NEG_INF)
+        row = qb * _QB + jax.lax.broadcasted_iota(jnp.int32, (_QB, _KB), 0)
+        p = jnp.exp(s - lse)
+        p = jnp.where(row < valid_len, p, 0.0)
+        pb = p.astype(v.dtype)
+        dv = dv + jax.lax.dot_general(
+            pb, g.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            g.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    d = k.shape[-1]
+    dk0 = jnp.zeros((_KB, d), jnp.float32)
+    dv0 = jnp.zeros((_KB, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _prep_tiled(q, k, v, g=None):
+    B, H, N, D = q.shape
+    Np = _round_up(N, max(_QB, _KB))
+
+    def r(t):
+        if t is None:
+            return None
+        if Np != N:
+            t = jnp.pad(t, [(0, 0), (0, 0), (0, Np - N), (0, 0)])
+        return t.reshape(B * H, Np, D)
+
+    return r(q), r(k), r(v), r(g), (B, H, N, D, Np)
+
+
+def _fwd_tiled(q, k, v, valid_len):
+    qf, kf, vf, _, (B, H, N, D, Np) = _prep_tiled(q, k, v)
+    scale = D ** -0.5
+    q_blk = pl.BlockSpec((1, _QB, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kv_blk = pl.BlockSpec((1, Np, D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_tiled_kernel, scale=scale, valid_len=valid_len),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Np, 1), jnp.float32),
+        ),
+        grid=(B * H, Np // _QB),
+        in_specs=[q_blk, kv_blk, kv_blk],
+        out_specs=(
+            q_blk,
+            pl.BlockSpec((1, _QB, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf)
+    out = o.reshape(B, H, Np, D)
+    return (out[:, :, :N, :] if Np != N else out), lse
+
+
+def _bwd_tiled(q, k, v, lse, g, valid_len):
+    qf, kf, vf, gf, (B, H, N, D, Np) = _prep_tiled(q, k, v, g)
+    scale = D ** -0.5
+    q_blk = pl.BlockSpec((1, _QB, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    full_blk = pl.BlockSpec((1, Np, D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    lse_q = pl.BlockSpec((1, _QB, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    lse_full = pl.BlockSpec((1, Np, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    # delta = rowsum(p * dp) == rowsum(dO * O): recompute O once (flash
+    # convention — cheaper than persisting O as a residual) and share the
+    # result with both backward kernels
+    o, _ = _fwd_tiled(q, k, v, valid_len)
+    of = _prep_tiled(o, o, o)[0]
+    delta = jnp.sum(
+        of.astype(jnp.float32) * gf.astype(jnp.float32), axis=-1, keepdims=True
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_tiled_dq_kernel, scale=scale, valid_len=valid_len),
+        out_shape=jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+        grid=(B * H, Np // _QB),
+        in_specs=[q_blk, full_blk, full_blk, lse_q, q_blk,
+                  pl.BlockSpec((1, _QB, 1), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=q_blk,
+        interpret=_interpret(),
+    )(qf, kf, vf, lse, gf, delta)
+
+    kv_blk = pl.BlockSpec((1, _KB, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_tiled_dkv_kernel, scale=scale, valid_len=valid_len),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+        ),
+        grid=(B * H, Np // _KB),
+        in_specs=[full_blk, kv_blk, kv_blk, lse_full, full_blk, lse_full],
+        out_specs=(kv_blk, kv_blk),
+        interpret=_interpret(),
+    )(qf, kf, vf, lse, gf, delta)
+
+    def unp(t):
+        t = t.reshape(B, H, Np, D)
+        return t[:, :, :N, :] if Np != N else t
+
+    return unp(dq), unp(dk), unp(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_tiled(
+    q: jax.Array, k: jax.Array, v: jax.Array, valid_len: int | None = None
+) -> jax.Array:
+    """Blockwise flash attention for long sequences (N > single-block limit).
+    q, k, v: (B, H, N, Dh). Online-softmax KV streaming; two-pass backward."""
+    out, _ = _tiled_vjp_fwd(q, k, v, valid_len)
+    return out
+
+
+def _tiled_vjp_fwd(q, k, v, valid_len):
+    vl = q.shape[2] if valid_len is None else int(valid_len)
+    out, lse = _fwd_tiled(q, k, v, vl)
+    return out, (q, k, v, lse)
+
+
+def _tiled_vjp_bwd(valid_len, res, g):
+    q, k, v, lse = res
+    vl = q.shape[2] if valid_len is None else int(valid_len)
+    return _bwd_tiled(q, k, v, lse, g, vl)
+
+
+flash_attention_tiled.defvjp(_tiled_vjp_fwd, _tiled_vjp_bwd)

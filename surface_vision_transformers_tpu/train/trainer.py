@@ -282,6 +282,26 @@ class Trainer:
 
     # -- evaluation ----------------------------------------------------------
 
+    def _use_fused_inference(self) -> bool:
+        """Megakernel forward for evaluation: TPU + bf16 + tile-aligned
+        sequence + regression task (MPP eval needs the recon head)."""
+        import jax as _jax
+
+        return (
+            self.task == "regression"
+            and _jax.default_backend() == "tpu"
+            and self.model.dtype == jnp.bfloat16
+            and self.model.precision is None
+            and self.model.padded_len % 128 == 0
+        )
+
+    def _infer(self, params, batch):
+        if self._use_fused_inference():
+            from surface_vision_transformers_tpu.models.fused import fused_forward
+
+            return fused_forward(self.model, {"params": params}, batch)
+        return self.model.apply({"params": params}, batch)
+
     def _build_eval_fn(self, steps: int, bs: int):
         def eval_fn(params, data, targets, idx, w):
             def one_step(carry, sl):
@@ -295,7 +315,7 @@ class Trainer:
                     )
                     return carry, (loss * b_w.sum(), jnp.zeros(()), jnp.zeros((bs,)))
                 tgt = jnp.take(targets, b_idx, axis=0)
-                preds = self.model.apply({"params": params}, batch)
+                preds = self._infer(params, batch)
                 preds = preds.reshape(preds.shape[0], -1).squeeze(-1)
                 err = jnp.abs(preds - tgt.reshape(preds.shape))
                 sq = jnp.square(preds - tgt.reshape(preds.shape))

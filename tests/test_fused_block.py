@@ -1,0 +1,66 @@
+"""Fused transformer-block megakernel vs the modular model (interpret mode on
+CPU; bench.py exercises the compiled path on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surface_vision_transformers_tpu.geometry import load_patch_table
+from surface_vision_transformers_tpu.models import SiT
+from surface_vision_transformers_tpu.models.fused import fused_forward
+
+CFG = dict(dim=32, depth=2, heads=2, mlp_dim=64, dim_head=16,
+           num_patches=320, num_vertices=153)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    table = load_patch_table(6, 2)
+    # fp32 modules vs fp32 kernel: only the tanh-GELU approximation differs
+    model = SiT(dtype=jnp.float32, patch_table=table.indices, **CFG)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 40962))
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params, x
+
+
+def test_fused_forward_matches_modular(setup):
+    model, params, x = setup
+    ref = model.apply(params, x)
+    out = fused_forward(model, params, x)
+    # tanh-GELU vs erf-GELU bounds the deviation (~3e-4 per activation)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_fused_forward_prepatched_and_mean_pool():
+    model = SiT(dtype=jnp.float32, pool="mean", **CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 320, 153))
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(params, x)
+    out = fused_forward(model, params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_fused_forward_requires_padding():
+    model = SiT(dtype=jnp.float32, seq_pad=False, **CFG)
+    x = jnp.zeros((1, 4, 320, 153))
+    params = model.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(NotImplementedError):
+        fused_forward(model, params, x)
+
+
+def test_trainer_eval_fused_dispatch(setup):
+    """The trainer picks the fused path only under the right conditions."""
+    from surface_vision_transformers_tpu.train import Trainer
+    from surface_vision_transformers_tpu.utils.config import from_dict
+
+    raw = {"resolution": {"ico": 6, "sub_ico": 2},
+           "transformer": {"dim": 32, "depth": 2, "heads": 2, "mlp_dim": 64,
+                           "dim_head": 16},
+           "training": {"LR": 1e-3, "bs": 4, "epochs": 1},
+           "optimisation": {"optimiser": "Adam"}}
+    t_bf16 = Trainer(from_dict(raw))
+    # on CPU the fused path must NOT engage (interpret mode is for tests only)
+    assert t_bf16._use_fused_inference() == (jax.default_backend() == "tpu")
+    raw["tpu"] = {"compute_dtype": "float32"}
+    assert not Trainer(from_dict(raw))._use_fused_inference()

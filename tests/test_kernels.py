@@ -92,3 +92,59 @@ def test_dispatcher_falls_back(monkeypatch):
     out = multi_head_attention(q, k, v, backend="auto")
     ref = xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestTiledAttention:
+    """Blockwise kernel for N > single-block limit (sub-ico-4 / ico-7)."""
+
+    def test_tiled_forward_matches_xla(self):
+        from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+            flash_attention_tiled,
+        )
+
+        q, k, v = _qkv(1, 2, 2048, 64)
+        out = flash_attention_tiled(q, k, v)
+        ref = xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_tiled_valid_len_and_padding(self):
+        from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+            flash_attention_tiled,
+        )
+
+        # N not a tile multiple -> padded internally; valid_len masks
+        q, k, v = _qkv(1, 1, 1664, 64)
+        out = flash_attention_tiled(q, k, v, 1600)
+        ref = xla_attention(q[:, :, :1600], k[:, :, :1600], v[:, :, :1600])
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :, :1600], np.asarray(ref), atol=3e-5
+        )
+
+    def test_tiled_grads_match_xla(self):
+        from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+            flash_attention_tiled,
+        )
+
+        q, k, v = _qkv(1, 1, 1024, 64)
+
+        def lf(q, k, v):
+            return (flash_attention_tiled(q, k, v) ** 2).sum()
+
+        def lr(q, k, v):
+            return (xla_attention(q, k, v) ** 2).sum()
+
+        g1 = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+        for a, b, nm in zip(g1, g2, "qkv"):
+            scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4 * scale, err_msg=f"d{nm}"
+            )
+
+    def test_dispatcher_uses_tiled_for_long_seq(self):
+        from surface_vision_transformers_tpu.ops import multi_head_attention
+
+        q, k, v = _qkv(1, 1, 2048, 64)
+        out = multi_head_attention(q, k, v, backend="pallas")
+        ref = xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
