@@ -83,3 +83,98 @@ def fused_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
     return out @ p["head"]["kernel"].astype(jnp.float32) + p["head"][
         "bias"
     ].astype(jnp.float32)
+
+
+def predict(model: SiT, variables, data, *, batch_size: int = 256):
+    """Batched serving helper: pads the last batch, jit-caches per shape,
+    uses the megakernel path on TPU (modular apply elsewhere). Returns a
+    numpy (N, num_classes) array."""
+    import numpy as np
+
+    use_fused = (
+        jax.default_backend() == "tpu"
+        and model.dtype == jnp.bfloat16
+        and model.padded_len % 128 == 0
+    )
+
+    @jax.jit
+    def fwd(p, x):
+        if use_fused:
+            return fused_forward(model, p, x)
+        return model.apply(p, x)
+
+    n = data.shape[0]
+    outs = []
+    for s in range(0, n, batch_size):
+        chunk = data[s : s + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [np.asarray(chunk),
+                 np.zeros((pad, *chunk.shape[1:]), np.asarray(chunk).dtype)]
+            )
+        out = fwd(variables, jnp.asarray(chunk))
+        outs.append(np.asarray(out)[: batch_size - pad if pad else batch_size])
+    return np.concatenate(outs, axis=0)
+
+
+def fused_train_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
+    """DIFFERENTIABLE fused forward: same megakernel blocks with the
+    single-kernel backward (fused_block_train). Gradients flow to every
+    parameter in the tree; embed/pool/head stay XLA (they are cheap and
+    autodiff-friendly). GELU is the tanh form in both directions (deviation
+    from erf-GELU is below bf16 resolution)."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        fused_block_train,
+    )
+
+    p = variables["params"] if "params" in variables else variables
+    dt = model.dtype
+    if model.padded_len % 128 != 0:
+        raise NotImplementedError("fused_train_forward requires seq_pad=True")
+
+    if x.ndim == 3:
+        tokens = fused_patch_embed(
+            x, model.patch_table, p["patch_embedding_kernel"],
+            p["patch_embedding_bias"], means=model.norm_means,
+            stds=model.norm_stds, compute_dtype=dt,
+        )
+    else:
+        tokens = rearrange_patched(x).astype(dt)
+        tokens = tokens @ p["patch_embedding_kernel"].astype(dt) + p[
+            "patch_embedding_bias"
+        ].astype(dt)
+
+    B, n = tokens.shape[0], tokens.shape[1]
+    cls = jnp.broadcast_to(p["cls_token"].astype(dt), (B, 1, model.dim))
+    h = jnp.concatenate([cls, tokens], axis=1)
+    h = h + p["pos_embedding"][:, : n + 1].astype(dt)
+    if model.padded_len > n + 1:
+        h = jnp.pad(h, [(0, 0), (0, model.padded_len - (n + 1)), (0, 0)])
+
+    valid = model.valid_len
+    enc = p["encoder"]
+    for i in range(model.depth):
+        a = enc[f"layers_{i}_attn"]
+        m = enc[f"layers_{i}_mlp"]
+        h = fused_block_train(
+            h,
+            a["norm"]["scale"], a["norm"]["bias"], a["to_qkv"]["kernel"].astype(dt),
+            a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+            m["norm"]["scale"], m["norm"]["bias"],
+            m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
+            m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+            model.heads, model.dim_head, valid,
+        )
+
+    if model.pool == "mean":
+        pooled = jnp.mean(h[:, : model.valid_len], axis=1)
+    else:
+        pooled = h[:, 0]
+    out = _layer_norm(
+        pooled, p["head_norm"]["scale"].astype(jnp.float32),
+        p["head_norm"]["bias"].astype(jnp.float32),
+    )
+    return out @ p["head"]["kernel"].astype(jnp.float32) + p["head"][
+        "bias"
+    ].astype(jnp.float32)

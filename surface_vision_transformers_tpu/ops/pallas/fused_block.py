@@ -162,3 +162,285 @@ def fused_block(
         out_specs=blk_x,
         interpret=jax.default_backend() != "tpu",
     )(x, *args)
+
+
+# -- training variant: custom-VJP fused block ---------------------------------
+#
+# Forward = the inference megakernel (residuals: just the block input x).
+# Backward = ONE kernel per block computing dx and ALL 11 weight gradients,
+# recomputing activations from x flash-attention style. Weight-gradient
+# outputs use constant index_maps, so their blocks persist in VMEM across the
+# batch-tile grid and accumulate with an init-on-first-program pattern.
+# The in-kernel GELU is the tanh form (fwd and bwd consistently); everything
+# else matches the modular bf16 training path.
+
+
+def _ln_fwd_cache(x, scale, bias, eps):
+    h = x.astype(jnp.float32)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    n = (h - mu) * rstd
+    return n * scale + bias, n, rstd
+
+
+def _ln_bwd(dy, n, rstd, scale):
+    """dy: grad wrt the post-affine LN output. Returns (dx, dscale, dbias)
+    with the param grads already summed over rows."""
+    dn = dy * scale
+    dx = (
+        dn
+        - jnp.mean(dn, axis=-1, keepdims=True)
+        - n * jnp.mean(dn * n, axis=-1, keepdims=True)
+    ) * rstd
+    return dx, jnp.sum(dy * n, axis=0, keepdims=True), jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _gelu_tanh_and_grad(f):
+    c = 0.7978845608028654  # sqrt(2/pi)
+    u = c * (f + 0.044715 * f * f * f)
+    t = jnp.tanh(u)
+    gl = 0.5 * f * (1.0 + t)
+    dgl = 0.5 * (1.0 + t) + 0.5 * f * (1.0 - t * t) * c * (
+        1.0 + 3 * 0.044715 * f * f
+    )
+    return gl, dgl
+
+
+def _mm(a, b, contract=((1,), (0,))):
+    return jax.lax.dot_general(
+        a, b, (contract, ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _block_bwd_kernel(
+    x_ref, g_ref,
+    ln1_s_ref, ln1_b_ref, wqkv_ref, wout_ref, bout_ref,
+    ln2_s_ref, ln2_b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+    dx_ref,
+    dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
+    dln2_s_ref, dln2_b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref,
+    *, heads, dim_head, valid_len, ln_eps,
+):
+    first = pl.program_id(0) == 0
+    np_ = x_ref.shape[1]
+    hd = heads * dim_head
+    scale = dim_head ** -0.5
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+
+    x = x_ref[0]  # (Np, dim) bf16
+    g = g_ref[0].astype(jnp.float32)
+    ln1_s = ln1_s_ref[0].astype(jnp.float32)
+    ln1_b = ln1_b_ref[0].astype(jnp.float32)
+    ln2_s = ln2_s_ref[0].astype(jnp.float32)
+    ln2_b = ln2_b_ref[0].astype(jnp.float32)
+
+    # ---- forward recompute: attention branch to x1 ----
+    h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
+    h1 = h1f.astype(x.dtype)
+    qkv = _mm(h1, wqkv_ref[:]).astype(x.dtype)  # (Np, 3*hd)
+
+    att_parts = []
+    for hh in range(heads):
+        q = qkv[:, hh * dim_head:(hh + 1) * dim_head]
+        k = qkv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+        v = qkv[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
+        s = _mm(q, k, ((1,), (1,))) * scale
+        s = jnp.where(col < valid_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        att_parts.append(_mm(p.astype(v.dtype), v).astype(x.dtype))
+    a = jnp.concatenate(att_parts, axis=-1)  # (Np, hd) bf16
+    o1 = _mm(a, wout_ref[:]) + bout_ref[0].astype(jnp.float32)
+    x1 = (x.astype(jnp.float32) + o1).astype(x.dtype)
+
+    # ---- MLP branch: forward recompute + backward ----
+    h2f, n2, rstd2 = _ln_fwd_cache(x1, ln2_s, ln2_b, ln_eps)
+    h2 = h2f.astype(x.dtype)
+    f1 = _mm(h2, wfc1_ref[:]) + bfc1_ref[0].astype(jnp.float32)
+    gl, dgl_df1 = _gelu_tanh_and_grad(f1)
+    glb = gl.astype(x.dtype)
+    gb = g.astype(x.dtype)
+
+    dwfc2 = _mm(glb, gb, ((0,), (0,)))  # (mlp, dim)
+    dbfc2 = jnp.sum(g, axis=0, keepdims=True)
+    dgl = _mm(gb, wfc2_ref[:], ((1,), (1,)))  # (Np, mlp) f32
+    df1 = dgl * dgl_df1
+    df1b = df1.astype(x.dtype)
+    dwfc1 = _mm(h2, df1b, ((0,), (0,)))  # (dim, mlp)
+    dbfc1 = jnp.sum(df1, axis=0, keepdims=True)
+    dh2 = _mm(df1b, wfc1_ref[:], ((1,), (1,)))  # (Np, dim) f32
+    dx1_ln, dln2_s, dln2_b = _ln_bwd(dh2, n2, rstd2, ln2_s)
+    dx1 = g + dx1_ln  # (Np, dim) f32
+
+    # ---- attention branch backward ----
+    dx1b = dx1.astype(x.dtype)
+    dbout = jnp.sum(dx1, axis=0, keepdims=True)
+    dwout = _mm(a, dx1b, ((0,), (0,)))  # (hd, dim)
+    da = _mm(dx1b, wout_ref[:], ((1,), (1,))).astype(x.dtype)  # (Np, hd)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for hh in range(heads):
+        q = qkv[:, hh * dim_head:(hh + 1) * dim_head]
+        k = qkv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+        v = qkv[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
+        da_h = da[:, hh * dim_head:(hh + 1) * dim_head]
+        s = _mm(q, k, ((1,), (1,))) * scale
+        s = jnp.where(col < valid_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.where(row < valid_len, p, 0.0)
+        pb = p.astype(x.dtype)
+        dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
+        dp = _mm(da_h, v, ((1,), (1,)))  # (Np, Np) f32
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(x.dtype)
+        dq_parts.append(_mm(ds, k).astype(x.dtype))
+        dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))
+    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+
+    dwqkv = _mm(h1, dqkv, ((0,), (0,)))  # (dim, 3hd)
+    dh1 = _mm(dqkv, wqkv_ref[:], ((1,), (1,)))  # (Np, dim) f32
+    dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
+    dx_ref[0] = (dx1 + dx_ln).astype(dx_ref.dtype)
+
+    # ---- weight-grad accumulation across the batch-tile grid ----
+    @pl.when(first)
+    def _():
+        dln1_s_ref[:] = dln1_s
+        dln1_b_ref[:] = dln1_b
+        dwqkv_ref[:] = dwqkv
+        dwout_ref[:] = dwout
+        dbout_ref[:] = dbout
+        dln2_s_ref[:] = dln2_s
+        dln2_b_ref[:] = dln2_b
+        dwfc1_ref[:] = dwfc1
+        dbfc1_ref[:] = dbfc1
+        dwfc2_ref[:] = dwfc2
+        dbfc2_ref[:] = dbfc2
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dln1_s_ref[:] += dln1_s
+        dln1_b_ref[:] += dln1_b
+        dwqkv_ref[:] += dwqkv
+        dwout_ref[:] += dwout
+        dbout_ref[:] += dbout
+        dln2_s_ref[:] += dln2_s
+        dln2_b_ref[:] += dln2_b
+        dwfc1_ref[:] += dwfc1
+        dbfc1_ref[:] += dbfc1
+        dwfc2_ref[:] += dwfc2
+        dbfc2_ref[:] += dbfc2
+
+
+def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+               ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+               *, heads, dim_head, valid_len, ln_eps):
+    B, N, dim = x.shape
+    mlp = w_fc1.shape[1]
+    hd = heads * dim_head
+
+    def vec(v):
+        return v.reshape(1, -1)
+
+    blk_x = pl.BlockSpec((1, N, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda b: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    in_arrays = [
+        x, g,
+        vec(ln1_scale), vec(ln1_bias), w_qkv, w_out, vec(b_out),
+        vec(ln2_scale), vec(ln2_bias), w_fc1, vec(b_fc1), w_fc2,
+    ]
+    in_specs = [blk_x, blk_x] + [wspec(a.shape) for a in in_arrays[2:]]
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, N, dim), x.dtype),        # dx
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dln1_s
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dln1_b
+        jax.ShapeDtypeStruct((dim, 3 * hd), jnp.float32),  # dwqkv
+        jax.ShapeDtypeStruct((hd, dim), jnp.float32),      # dwout
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dbout
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dln2_s
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dln2_b
+        jax.ShapeDtypeStruct((dim, mlp), jnp.float32),     # dwfc1
+        jax.ShapeDtypeStruct((1, mlp), jnp.float32),       # dbfc1
+        jax.ShapeDtypeStruct((mlp, dim), jnp.float32),     # dwfc2
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dbfc2
+    )
+    out_specs = (blk_x,) + tuple(wspec(o.shape) for o in out_shapes[1:])
+    return pl.pallas_call(
+        functools.partial(
+            _block_bwd_kernel, heads=heads, dim_head=dim_head,
+            valid_len=valid_len, ln_eps=ln_eps,
+        ),
+        out_shape=out_shapes,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=jax.default_backend() != "tpu",
+    )(*in_arrays)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15)
+)
+def fused_block_train(
+    x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+    ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+    heads: int, dim_head: int, valid_len: int | None = None,
+    ln_eps: float = 1e-5,
+):
+    """Differentiable fused block: megakernel forward + single-kernel
+    backward producing dx and all weight grads. NOTE: GELU is the tanh form
+    in BOTH directions (consistent gradient of the computed function)."""
+    return fused_block(
+        x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+        ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+        heads=heads, dim_head=dim_head, valid_len=valid_len, ln_eps=ln_eps,
+    )
+
+
+def _fbt_fwd(x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+             ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+             heads, dim_head, valid_len, ln_eps):
+    out = fused_block(
+        x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+        ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+        heads=heads, dim_head=dim_head, valid_len=valid_len, ln_eps=ln_eps,
+    )
+    res = (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+           ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2)
+    return out, res
+
+
+def _fbt_bwd(heads, dim_head, valid_len, ln_eps, res, g):
+    (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+     ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2) = res
+    vl = x.shape[1] if valid_len is None else int(valid_len)
+    (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
+     dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = _block_bwd(
+        x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+        ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+        heads=heads, dim_head=dim_head, valid_len=vl, ln_eps=ln_eps,
+    )
+
+    def like(d, ref):
+        return d.reshape(ref.shape).astype(ref.dtype)
+
+    return (
+        dx,
+        like(dln1_s, ln1_scale), like(dln1_b, ln1_bias),
+        like(dwqkv, w_qkv), like(dwout, w_out), like(dbout, b_out),
+        like(dln2_s, ln2_scale), like(dln2_b, ln2_bias),
+        like(dwfc1, w_fc1), like(dbfc1, b_fc1), like(dwfc2, w_fc2),
+        like(dbfc2, ln2_scale),
+    )
+
+
+fused_block_train.defvjp(_fbt_fwd, _fbt_bwd)

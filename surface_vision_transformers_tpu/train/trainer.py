@@ -154,6 +154,23 @@ class Trainer:
 
     # -- single-step loss ----------------------------------------------------
 
+    def _use_fused_train(self) -> bool:
+        """Fused-block kernels with the single-kernel backward for the
+        training forward: TPU + bf16 + no dropout + tile-aligned sequence;
+        never in fp32 parity mode (set tpu.fused_train: false to disable)."""
+        import jax as _jax
+
+        return (
+            getattr(self.exp.tpu, "fused_train", True)
+            and self.task == "regression"
+            and _jax.default_backend() == "tpu"
+            and self.model.dtype == jnp.bfloat16
+            and self.model.precision is None
+            and self.model.dropout == 0.0
+            and self.model.emb_dropout == 0.0
+            and self.model.padded_len % 128 == 0
+        )
+
     def _loss(self, params, batch, targets, weights, rng, deterministic):
         if self.task == "mpp":
             rngs = {"dropout": rng} if not deterministic else {}
@@ -165,9 +182,16 @@ class Trainer:
             # MAE is not meaningful for MPP; report loss twice
             return loss, loss
         rngs = {"dropout": rng} if not deterministic else {}
-        preds = self.model.apply(
-            {"params": params}, batch, deterministic=deterministic, rngs=rngs
-        )
+        if deterministic and self._use_fused_train():
+            from surface_vision_transformers_tpu.models.fused import (
+                fused_train_forward,
+            )
+
+            preds = fused_train_forward(self.model, {"params": params}, batch)
+        else:
+            preds = self.model.apply(
+                {"params": params}, batch, deterministic=deterministic, rngs=rngs
+            )
         preds = preds.reshape(preds.shape[0], -1).squeeze(-1)
         loss = self.loss_fn(preds, targets, weights)
         mae = (jnp.abs(preds - targets.reshape(preds.shape)) * weights).sum() / (

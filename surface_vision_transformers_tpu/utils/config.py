@@ -154,6 +154,7 @@ class TPUConfig:
     torch_init: bool = True  # mirror torch Linear/LayerNorm init for recipe parity
     debug_nans: bool = False  # jax_debug_nans sanitizer (SURVEY §5)
     profile_epoch: int = -1  # write a jax.profiler trace for this epoch
+    fused_train: bool = True  # fused-block kernels in the training forward
 
 
 @dataclasses.dataclass(frozen=True)
@@ -293,6 +294,7 @@ def from_dict(raw: dict) -> Experiment:
         torch_init=bool(tp.get("torch_init", True)),
         debug_nans=bool(tp.get("debug_nans", False)),
         profile_epoch=int(tp.get("profile_epoch", -1)),
+        fused_train=bool(tp.get("fused_train", True)),
     )
 
     mpp = None

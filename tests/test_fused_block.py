@@ -64,3 +64,14 @@ def test_trainer_eval_fused_dispatch(setup):
     assert t_bf16._use_fused_inference() == (jax.default_backend() == "tpu")
     raw["tpu"] = {"compute_dtype": "float32"}
     assert not Trainer(from_dict(raw))._use_fused_inference()
+
+
+def test_predict_helper(setup):
+    from surface_vision_transformers_tpu.models.fused import predict
+
+    model, params, _ = setup
+    data = np.random.default_rng(0).standard_normal((10, 4, 40962)).astype(np.float32)
+    out = predict(model, params, data, batch_size=4)  # 3 batches, last padded
+    assert out.shape == (10, 1)
+    ref = np.asarray(model.apply(params, jnp.asarray(data)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -108,3 +108,34 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_mpp_sharded_training_matches_single_device(data):
+    """MPP task under the mesh: loss parity with the unsharded run."""
+    d_np, _ = data
+    raw = {
+        "resolution": {"ico": 2, "sub_ico": 0},
+        "transformer": {"dim": 64, "depth": 2, "heads": 2, "mlp_dim": 128,
+                        "dim_head": 32},
+        "training": {"LR": 1e-3, "bs": 16, "epochs": 1, "seed": 0},
+        "optimisation": {"optimiser": "Adam"},
+        "tpu": {"compute_dtype": "float32"},
+        "SSL": "mpp",
+        "pretraining_mpp": {"mask_prob": 0.5, "replace_prob": 0.8,
+                            "swap_prob": 0.02},
+    }
+    from surface_vision_transformers_tpu.utils.config import from_dict
+
+    exp = from_dict(raw)
+    t0 = Trainer(exp)
+    s0 = t0.init_state(d_np[:1])
+    s0, m0 = t0.train_epoch(s0, jnp.asarray(d_np))
+
+    mesh = make_mesh(2, 2, 2)
+    t1 = Trainer(exp, mesh=mesh)
+    s1 = t1.init_state(d_np[:1])
+    with mesh:
+        s1 = s1.replace(params=shard_params(s1.params, mesh))
+        d = shard_batch(jnp.asarray(d_np), mesh)
+        s1, m1 = t1.train_epoch(s1, d)
+    assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
