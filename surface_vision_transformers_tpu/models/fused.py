@@ -178,3 +178,73 @@ def fused_train_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
     return out @ p["head"]["kernel"].astype(jnp.float32) + p["head"][
         "bias"
     ].astype(jnp.float32)
+
+
+def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None):
+    """Differentiable MPP loss over the fused-block encoder — functional
+    equivalent of models.mpp.MPP.__call__ (corruption -> shared embed ->
+    encoder -> reconstruction -> masked MSE) reading the param tree directly.
+    Returns (loss, recon)."""
+    from surface_vision_transformers_tpu.models.mpp import corrupt_sequence
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        fused_block_train,
+    )
+    from surface_vision_transformers_tpu.ops import patchify as _patchify
+
+    p = variables["params"] if "params" in variables else variables
+    enc_model = mpp.encoder
+    dt = enc_model.dtype
+    patch_dim = enc_model.patch_dim
+
+    if batch.ndim == 4:
+        target = rearrange_patched(batch)
+    elif batch.ndim == 3 and batch.shape[-1] == patch_dim:
+        target = batch
+    else:
+        target = _patchify(batch, enc_model.patch_table)
+
+    corrupted, mask, n_masked = corrupt_sequence(
+        rng, target, p["mask_token"],
+        mask_prob=mpp.mask_prob, replace_prob=mpp.replace_prob,
+        swap_prob=mpp.swap_prob,
+    )
+
+    ep = p["encoder"]
+    tokens = corrupted.astype(dt) @ ep["patch_embedding_kernel"].astype(dt) + ep[
+        "patch_embedding_bias"
+    ].astype(dt)
+    B, n = tokens.shape[0], tokens.shape[1]
+    cls = jnp.broadcast_to(ep["cls_token"].astype(dt), (B, 1, enc_model.dim))
+    h = jnp.concatenate([cls, tokens], axis=1)
+    h = h + ep["pos_embedding"][:, : n + 1].astype(dt)
+    if enc_model.padded_len > n + 1:
+        h = jnp.pad(h, [(0, 0), (0, enc_model.padded_len - (n + 1)), (0, 0)])
+
+    enc = ep["encoder"]
+    for i in range(enc_model.depth):
+        a = enc[f"layers_{i}_attn"]
+        m = enc[f"layers_{i}_mlp"]
+        h = fused_block_train(
+            h,
+            a["norm"]["scale"], a["norm"]["bias"], a["to_qkv"]["kernel"].astype(dt),
+            a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+            m["norm"]["scale"], m["norm"]["bias"],
+            m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
+            m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+            enc_model.heads, enc_model.dim_head, enc_model.valid_len,
+        )
+    h = h[:, 1 : n + 1]
+
+    recon = h.astype(jnp.float32) @ p["to_original"]["kernel"].astype(
+        jnp.float32
+    ) + p["to_original"]["bias"].astype(jnp.float32)
+
+    err = jnp.square(recon - target.astype(jnp.float32))
+    masked_err = jnp.where(mask[:, :, None], err, 0.0)
+    if sample_weights is not None:
+        masked_err = masked_err * sample_weights[:, None, None]
+        batch_count = jnp.maximum(sample_weights.sum(), 1e-9)
+    else:
+        batch_count = target.shape[0]
+    loss = masked_err.sum() / (batch_count * n_masked * patch_dim)
+    return loss, recon

@@ -162,7 +162,6 @@ class Trainer:
 
         return (
             getattr(self.exp.tpu, "fused_train", True)
-            and self.task == "regression"
             and _jax.default_backend() == "tpu"
             and self.model.dtype == jnp.bfloat16
             and self.model.precision is None
@@ -173,6 +172,16 @@ class Trainer:
 
     def _loss(self, params, batch, targets, weights, rng, deterministic):
         if self.task == "mpp":
+            if deterministic and self._use_fused_train():
+                from surface_vision_transformers_tpu.models.fused import (
+                    fused_mpp_loss,
+                )
+
+                loss, _ = fused_mpp_loss(
+                    self.mpp, {"params": params}, batch, rng,
+                    sample_weights=weights,
+                )
+                return loss, loss
             rngs = {"dropout": rng} if not deterministic else {}
             loss, _ = self.mpp.apply(
                 {"params": params}, batch, rng,

@@ -75,3 +75,20 @@ def test_predict_helper(setup):
     assert out.shape == (10, 1)
     ref = np.asarray(model.apply(params, jnp.asarray(data)))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_fused_mpp_loss_matches_modular():
+    from surface_vision_transformers_tpu.models import MPP
+    from surface_vision_transformers_tpu.models.fused import fused_mpp_loss
+
+    model = SiT(dtype=jnp.float32, **CFG)
+    mpp = MPP(encoder=model, mask_prob=0.5, replace_prob=0.8, swap_prob=0.02)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 320, 153))
+    params = mpp.init({"params": jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(7)
+    loss_mod, recon_mod = mpp.apply(params, x, rng)
+    loss_fused, recon_fused = fused_mpp_loss(mpp, params, x, rng)
+    # identical corruption (same rng) -> only kernel-math (tanh GELU) differs
+    assert abs(float(loss_mod) - float(loss_fused)) < 5e-3 * float(loss_mod)
+    np.testing.assert_allclose(np.asarray(recon_fused), np.asarray(recon_mod),
+                               atol=2e-2)
