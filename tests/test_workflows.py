@@ -87,3 +87,43 @@ def test_cli_train_smoke(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "training_finished" in out.stdout
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """npz -> reference .pth -> npz roundtrip through the export CLI."""
+    torch = pytest.importorskip("torch")
+    import jax, jax.numpy as jnp
+    from surface_vision_transformers_tpu.checkpoints import orbax_io
+    from surface_vision_transformers_tpu.models import SiT
+
+    model = SiT(dim=16, depth=1, heads=2, mlp_dim=32, dim_head=8,
+                num_patches=20, num_vertices=15, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 20, 15)))
+    npz1 = tmp_path / "a.npz"
+    orbax_io.save_params_npz(npz1, params)
+
+    import sys as _sys
+    from surface_vision_transformers_tpu.cli import export as export_cli
+
+    pth = tmp_path / "ref.pth"
+    _sys.argv = ["export", "--src", str(npz1), "--dst", str(pth), "--depth", "1"]
+    export_cli.main()
+    npz2 = tmp_path / "b.npz"
+    _sys.argv = ["export", "--src", str(pth), "--dst", str(npz2), "--depth", "1"]
+    export_cli.main()
+
+    t1 = orbax_io.load_params_npz(npz1)
+    t2 = orbax_io.load_params_npz(npz2)
+    leaves1 = {"/".join(p): v for p, v in _flat(t1)}
+    leaves2 = {"/".join(p): v for p, v in _flat(t2)}
+    assert set(leaves1) == set(leaves2)
+    for k in leaves1:
+        np.testing.assert_array_equal(leaves1[k], leaves2[k], err_msg=k)
+
+
+def _flat(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flat(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
