@@ -49,6 +49,11 @@ class PatchTable:
     indices: np.ndarray
     ico: int
     sub_ico: int
+    # vertex-id ordering: 'atlas' (e.g. dHCP CSV/npz assets) or 'canonical'
+    # (this framework's icosphere numbering, for generated tables). Geometry
+    # built from geometry.icosphere (rotation/warp tables) only matches
+    # 'canonical' tables.
+    ordering: str = "atlas"
 
     @property
     def num_patches(self) -> int:
@@ -154,7 +159,9 @@ def load_patch_table(
         if p.suffix == ".csv":
             return PatchTable(read_reference_csv(p), ico, sub_ico).validate()
         with np.load(p) as z:
-            return PatchTable(z["indices"], int(z["ico"]), int(z["sub_ico"])).validate()
+            return PatchTable(
+                z["indices"], int(z["ico"]), int(z["sub_ico"])
+            ).validate()
 
     search_dirs = []
     if os.environ.get("SVT_TABLE_DIR"):
@@ -175,4 +182,4 @@ def load_patch_table(
         )
     table, verts = ics.generate_patch_table(ico, sub_ico)
     table = ics.remap_table_to_icosphere(table, verts, ico)
-    return PatchTable(table, ico, sub_ico).validate()
+    return PatchTable(table, ico, sub_ico, ordering="canonical").validate()

@@ -202,6 +202,12 @@ def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None):
         target = batch
     else:
         target = _patchify(batch, enc_model.patch_table)
+        if enc_model.norm_means is not None:
+            from surface_vision_transformers_tpu.ops import normalize_tokens
+
+            target = normalize_tokens(
+                target, enc_model.norm_means, enc_model.norm_stds
+            )
 
     corrupted, mask, n_masked = corrupt_sequence(
         rng, target, p["mask_token"],

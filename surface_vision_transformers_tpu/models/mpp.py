@@ -36,7 +36,7 @@ from surface_vision_transformers_tpu.models.sit import (
     torch_linear_bias_init,
     torch_linear_kernel_init,
 )
-from surface_vision_transformers_tpu.ops import patchify, rearrange_patched
+from surface_vision_transformers_tpu.ops import normalize_tokens, patchify, rearrange_patched
 
 
 def exact_count_mask(key: jax.Array, batch: int, seq_len: int, prob: float):
@@ -122,6 +122,10 @@ class MPP(nn.Module):
             target = batch
         elif batch.ndim == 3:
             target = patchify(batch, enc.patch_table)
+            if enc.norm_means is not None:
+                # raw-vertex input: match the supervised path's folded
+                # normalization so SSL and finetune see the same scaling
+                target = normalize_tokens(target, enc.norm_means, enc.norm_stds)
         else:
             raise ValueError(f"bad MPP input shape {batch.shape}")
 

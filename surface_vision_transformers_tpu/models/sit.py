@@ -111,7 +111,30 @@ class Attention(nn.Module):
         B, N = qkv.shape[0], qkv.shape[1]
 
         out = None
-        if self._use_packed_kernel(N):
+        if self.dropout > 0.0 and not deterministic:
+            # the reference applies dropout to the attention PROBABILITIES as
+            # well as after the out-projection; kernels skip dropout, so take
+            # the explicit path while training with dropout
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def heads_t(t):
+                return t.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+            q, k, v = heads_t(q), heads_t(k), heads_t(v)
+            logits = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, precision=self.precision,
+                preferred_element_type=jnp.float32,
+            ) * (self.dim_head ** -0.5)
+            if valid_len is not None and valid_len < N:
+                mask = jnp.arange(N) < valid_len
+                logits = jnp.where(mask[None, None, None, :], logits, -1e30)
+            weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            weights = nn.Dropout(self.dropout)(weights, deterministic=False)
+            out = jnp.einsum(
+                "bhnm,bhmd->bhnd", weights, v, precision=self.precision
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+        elif self._use_packed_kernel(N):
             from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
                 flash_attention_qkv,
             )

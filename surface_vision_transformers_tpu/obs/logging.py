@@ -49,9 +49,9 @@ class MetricLogger:
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.run_dir / "metrics.jsonl", "a")
-        self._csv_path = self.run_dir / "metrics.csv"
-        self._csv_file = None
-        self._csv_writer = None
+        # one CSV per metric prefix: a single DictWriter would freeze its
+        # columns on the first (train/) record and silently drop val/ fields
+        self._csv: dict[str, tuple] = {}
         self._tb = None
         if use_tensorboard:
             try:  # tensorboard is optional
@@ -66,15 +66,20 @@ class MetricLogger:
         rec.update({prefix + k: v for k, v in scalars.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
-        if self._csv_writer is None:
-            self._csv_file = open(self._csv_path, "a", newline="")
-            self._csv_writer = csv.DictWriter(
-                self._csv_file, fieldnames=list(rec.keys()), extrasaction="ignore"
+
+        key = prefix.strip("/") or "metrics"
+        if key not in self._csv:
+            path = self.run_dir / (
+                "metrics.csv" if key == "metrics" else f"metrics_{key}.csv"
             )
-            if self._csv_path.stat().st_size == 0:
-                self._csv_writer.writeheader()
-        self._csv_writer.writerow(rec)
-        self._csv_file.flush()
+            f = open(path, "a", newline="")
+            w = csv.DictWriter(f, fieldnames=list(rec.keys()), extrasaction="ignore")
+            if path.stat().st_size == 0:
+                w.writeheader()
+            self._csv[key] = (f, w)
+        f, w = self._csv[key]
+        w.writerow(rec)
+        f.flush()
         if self._tb is not None:
             for k, v in scalars.items():
                 if isinstance(v, (int, float)):
@@ -82,8 +87,8 @@ class MetricLogger:
 
     def close(self) -> None:
         self._jsonl.close()
-        if self._csv_file:
-            self._csv_file.close()
+        for f, _ in self._csv.values():
+            f.close()
         if self._tb is not None:
             self._tb.close()
 

@@ -4,6 +4,7 @@ from surface_vision_transformers_tpu.ops.attention import (
 )
 from surface_vision_transformers_tpu.ops.patchify import (
     fold_normalization,
+    normalize_tokens,
     fused_patch_embed,
     patchify,
     rearrange_patched,
@@ -11,6 +12,7 @@ from surface_vision_transformers_tpu.ops.patchify import (
 
 __all__ = [
     "fold_normalization",
+    "normalize_tokens",
     "fused_patch_embed",
     "multi_head_attention",
     "patchify",

@@ -415,13 +415,13 @@ def _fbt_fwd(x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
         heads=heads, dim_head=dim_head, valid_len=valid_len, ln_eps=ln_eps,
     )
     res = (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
-           ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2)
+           ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2)
     return out, res
 
 
 def _fbt_bwd(heads, dim_head, valid_len, ln_eps, res, g):
     (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
-     ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2) = res
+     ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2) = res
     vl = x.shape[1] if valid_len is None else int(valid_len)
     (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
      dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = _block_bwd(
@@ -439,7 +439,7 @@ def _fbt_bwd(heads, dim_head, valid_len, ln_eps, res, g):
         like(dwqkv, w_qkv), like(dwout, w_out), like(dbout, b_out),
         like(dln2_s, ln2_scale), like(dln2_b, ln2_bias),
         like(dwfc1, w_fc1), like(dbfc1, b_fc1), like(dwfc2, w_fc2),
-        like(dbfc2, ln2_scale),
+        like(dbfc2, b_fc2),
     )
 
 

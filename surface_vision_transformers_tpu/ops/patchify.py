@@ -83,6 +83,17 @@ def fold_normalization(
     return k2, b2
 
 
+def normalize_tokens(
+    tokens: jax.Array, means, stds
+) -> jax.Array:
+    """Apply per-channel z-score to (.., V*C) tokens in (v c) order (stats in
+    the reference's (1, C, 1) layout or flat (C,))."""
+    means = jnp.asarray(means).reshape(-1)
+    stds = jnp.asarray(stds).reshape(-1)
+    reps = tokens.shape[-1] // means.shape[0]
+    return (tokens - jnp.tile(means, reps)) / jnp.tile(stds, reps)
+
+
 def fused_patch_embed(
     x: jax.Array,
     indices,
@@ -112,7 +123,8 @@ def fused_patch_embed(
         )
 
         return pallas_patch_embed(
-            x, indices, kernel, bias, compute_dtype=compute_dtype
+            x, indices, jnp.asarray(kernel), jnp.asarray(bias),
+            compute_dtype=compute_dtype,
         )
     tokens = patchify(x, indices)
     tokens = tokens.astype(compute_dtype)

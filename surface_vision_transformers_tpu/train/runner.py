@@ -76,8 +76,17 @@ def _load_initial_weights(exp: Experiment, trainer: Trainer, state: TrainState):
     params = state.params
     if exp.training.load_weights_ssl and exp.ssl_weights_path not in ("", ".."):
         loaded = _load_params_any(exp.ssl_weights_path, exp.model.depth)
-        tgt = params if trainer.task == "regression" else params
-        params = merge_params(tgt, loaded)
+        if trainer.task == "mpp" and "patch_embedding_kernel" in loaded:
+            # a plain SiT tree (its own 'encoder' key is the transformer
+            # stack) initializes the MPP's nested encoder
+            loaded = {"encoder": loaded}
+        n_before = _count_shared_leaves(params, loaded)
+        if n_before == 0:
+            raise ValueError(
+                f"SSL checkpoint {exp.ssl_weights_path!r} shares no parameter "
+                "with the model (wrong depth/format?)"
+            )
+        params = merge_params(params, loaded)
         state = trainer.load_params(state, params)
     if exp.training.load_weights_imagenet and exp.imagenet_weights:
         # expects a local torch/timm state-dict file (no network egress)
@@ -92,6 +101,17 @@ def _load_initial_weights(exp: Experiment, trainer: Trainer, state: TrainState):
         )
         state = trainer.load_params(state, jax.tree.map(jnp.asarray, params))
     return state
+
+
+def _count_shared_leaves(base: dict, loaded: dict) -> int:
+    n = 0
+    for k, v in base.items():
+        if k in loaded:
+            if isinstance(v, dict) and isinstance(loaded[k], dict):
+                n += _count_shared_leaves(v, loaded[k])
+            elif not isinstance(v, dict):
+                n += 1
+    return n
 
 
 def _load_params_any(path: str, depth: int) -> dict:
@@ -149,11 +169,28 @@ def run_training(
     run_dir.mkdir(parents=True, exist_ok=True)
     logger = MetricLogger(run_dir)
 
-    table = load_patch_table(exp.ico, exp.sub_ico).indices
+    table_obj = load_patch_table(exp.ico, exp.sub_ico)
+    table = table_obj.indices
     augment = None
     if exp.augment.enabled:
         from surface_vision_transformers_tpu.data.augment import SurfaceAugment
 
+        mesh_verts = mesh_faces = None
+        if exp.augment.sphere_path:
+            from surface_vision_transformers_tpu.data import gifti
+
+            img = gifti.load(exp.augment.sphere_path)
+            mesh_verts = np.asarray(img.darrays[0].data, np.float64)
+            mesh_verts /= np.linalg.norm(mesh_verts, axis=1, keepdims=True)
+            mesh_faces = np.asarray(img.darrays[1].data, np.int64)
+        elif table_obj.ordering != "canonical":
+            raise ValueError(
+                "augmentation with an atlas-ordered patch table (e.g. the "
+                "shipped dHCP tables) needs the matching sphere coordinates: "
+                "set augmentation.sphere_path to the atlas sphere .surf.gii. "
+                "Rotation tables built from the canonical icosphere would "
+                "scramble atlas-ordered data."
+            )
         augment = SurfaceAugment(
             ico=exp.ico,
             patch_table=table,
@@ -162,6 +199,8 @@ def run_training(
             max_warp_deg=exp.augment.max_warp_deg,
             warp_prob=exp.augment.warp_prob,
             seed=exp.augment.seed,
+            mesh_verts=mesh_verts,
+            mesh_faces=mesh_faces,
         )
     if train_data.ndim != 3:  # pre-patched input -> no on-device patchify
         table = None
@@ -227,6 +266,29 @@ def run_training(
                 if not is_mpp and preds is not None:
                     _write_preds_csv(run_dir / "preds.csv", preds, val_labels)
 
+    if exp.training.save_ckpt:
+        # final state is always recoverable, validation split or not
+        # (the reference's pretrain saves final ckpts too,
+        # tools/pretrain.py:406-418; its train.py loses the run when val
+        # never improves)
+        orbax_io.save_state(
+            run_dir / "final", state,
+            {"epoch": exp.training.epochs - 1, metric_name: float(best)},
+        )
+        orbax_io.save_params_npz(
+            run_dir / "final_params.npz", {"params": state.params}
+        )
+        if is_mpp:
+            orbax_io.save_params_npz(
+                run_dir / "encoder_final_params.npz",
+                {"params": state.params["encoder"]},
+            )
+        if best_epoch < 0:
+            orbax_io.save_state(
+                run_dir / "best", state,
+                {"epoch": exp.training.epochs - 1, metric_name: float("nan")},
+            )
+
     results = {
         f"best_{metric_name}": float(best),
         "best_epoch": int(best_epoch),
@@ -284,6 +346,8 @@ def run_testing(
         state, _device_put(exp, data, mesh), jnp.asarray(labels)
     )
     out_dir = Path(exp.ckpt_path) if exp.ckpt_path else Path(exp.logging_folder)
+    if out_dir.is_file() or out_dir.suffix in (".npz", ".pt", ".pth"):
+        out_dir = out_dir.parent
     out_dir.mkdir(parents=True, exist_ok=True)
     _write_preds_csv(out_dir / "results.csv", preds, labels)
     return {"mae": float(m.mae), "n": int(data.shape[0]), "split": split}

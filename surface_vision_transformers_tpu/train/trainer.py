@@ -362,9 +362,11 @@ class Trainer:
         return jax.jit(eval_fn)
 
     def evaluate(self, state: TrainState, data, targets=None):
-        """Full-split eval. Returns (metrics, predictions)."""
+        """Full-split eval at training.bs_val (0 -> training.bs).
+        Returns (metrics, predictions)."""
         n = data.shape[0]
-        bs = min(self.exp.training.bs, n)
+        bs_val = self.exp.training.bs_val or self.exp.training.bs
+        bs = min(bs_val, n)
         steps = math.ceil(n / bs)
         key = (steps, bs, "eval")
         if key not in self._eval_fns:

@@ -112,7 +112,7 @@ class TrainingConfig:
     """Run hyperparameters (reference: config/SiT/training/hparams.yml:16-29)."""
 
     bs: int = 256
-    bs_val: int = 8
+    bs_val: int = 0  # 0 -> use bs
     epochs: int = 100
     val_epoch: int = 10
     l1loss: bool = False
@@ -136,6 +136,10 @@ class AugmentConfig:
     max_warp_deg: float = 15.0
     warp_prob: float = 0.5
     seed: int = 0
+    # sphere surface GIFTI (POINTSET+TRIANGLE) giving the vertex coordinates
+    # of the DATA's ordering; required when the patch table is in an atlas
+    # ordering (e.g. dHCP) rather than this framework's canonical one
+    sphere_path: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -257,7 +261,7 @@ def from_dict(raw: dict) -> Experiment:
     tr = raw.get("training", {})
     training = TrainingConfig(
         bs=int(tr.get("bs", 256)),
-        bs_val=int(tr.get("bs_val", 8)),
+        bs_val=int(tr.get("bs_val", 0)),
         epochs=int(tr.get("epochs", 100)),
         val_epoch=int(tr.get("val_epoch", 10)),
         l1loss=bool(tr.get("l1loss", False)),
@@ -315,6 +319,7 @@ def from_dict(raw: dict) -> Experiment:
         max_warp_deg=float(aug_raw.get("max_warp_deg", 15.0)),
         warp_prob=float(aug_raw.get("warp_prob", 0.5)),
         seed=int(aug_raw.get("seed", 0)),
+        sphere_path=str(aug_raw.get("sphere_path", "")),
     )
 
     return Experiment(
