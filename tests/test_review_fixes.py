@@ -176,3 +176,42 @@ def test_final_checkpoint_without_validation(tmp_path):
     import os
     assert os.path.exists(os.path.join(run_dir, "final_params.npz"))
     assert os.path.exists(os.path.join(run_dir, "best"))
+
+
+def test_run_testing_with_reference_pth(tmp_path):
+    """C6 interop: a reference-layout torch checkpoint feeds run_testing."""
+    torch = pytest.importorskip("torch")
+    sys_path_mod = __import__("sys")
+    from tests.torch_ref import TorchSiT
+
+    torch.manual_seed(0)
+    tm = TorchSiT(dim=16, depth=1, heads=2, mlp_dim=32, dim_head=8,
+                  num_patches=20, num_vertices=15)
+    pth = tmp_path / "checkpoint.pth"
+    torch.save(tm.state_dict(), pth)
+
+    raw = tiny_raw()
+    raw["testing"] = {"path_to_ckpt": str(pth)}
+    raw["data"] = {"split": "validation"}
+    data, labels = make_regression_dataset(12, num_patches=20, num_vertices=15)
+    res = runner.run_testing(from_dict(raw),
+                             datasets={"validation": (data, labels)})
+    assert np.isfinite(res["mae"])
+
+    # the loaded params must reproduce the torch model's outputs (fp32)
+    from surface_vision_transformers_tpu.checkpoints.torch_import import (
+        merge_params, sit_params_from_torch,
+    )
+    from surface_vision_transformers_tpu.models import SiT
+
+    model = SiT(dim=16, depth=1, heads=2, mlp_dim=32, dim_head=8,
+                num_patches=20, num_vertices=15, dtype=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    base = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 20, 15)))
+    params = {"params": merge_params(base["params"],
+                                     sit_params_from_torch(tm.state_dict(), 1))}
+    x = data[:4]
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    out = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=5e-5)
