@@ -235,9 +235,32 @@ class Encoder(nn.Module):
     precision: Any = None
     torch_init: bool = True
     remat: bool = False
+    # sequence parallelism: shard token activations over this mesh axis
+    # between blocks (GSPMD inserts the gather/scatter collectives around
+    # attention). seq_mesh carries the concrete Mesh for the constraint.
+    seq_shard_axis: Optional[str] = None
+    seq_mesh: Any = None
+
+    def _seq_constraint(self, x):
+        if self.seq_shard_axis is None or self.seq_mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shape = dict(self.seq_mesh.shape)
+        batch_div = shape.get("data", 1) * shape.get("fsdp", 1)
+        seq_div = shape.get(self.seq_shard_axis, 1)
+        if x.shape[0] % batch_div or x.shape[1] % seq_div:
+            return x  # e.g. the batch-1 init trace; nothing to shard
+        return jax.lax.with_sharding_constraint(
+            x,
+            NamedSharding(
+                self.seq_mesh, P(("data", "fsdp"), self.seq_shard_axis, None)
+            ),
+        )
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, valid_len=None):
+        x = self._seq_constraint(x)
         common = dict(
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -254,7 +277,9 @@ class Encoder(nn.Module):
                 heads=self.heads,
                 dim_head=self.dim_head,
                 dropout=self.dropout,
-                attn_backend=self.attn_backend,
+                # under sequence sharding, GSPMD cannot partition the custom
+                # pallas call; the einsum path lets it insert the collectives
+                attn_backend="xla" if self.seq_shard_axis else self.attn_backend,
                 name=f"layers_{i}_attn",
                 **common,
             )(x, deterministic=deterministic, valid_len=valid_len)
@@ -265,6 +290,7 @@ class Encoder(nn.Module):
                 name=f"layers_{i}_mlp",
                 **common,
             )(x, deterministic=deterministic)
+            x = self._seq_constraint(x)
         return x
 
 
@@ -299,6 +325,8 @@ class SiT(nn.Module):
     precision: Any = None
     torch_init: bool = True
     remat: bool = False
+    seq_shard_axis: Optional[str] = None  # sequence parallelism (see Encoder)
+    seq_mesh: Any = None
     # pad the token sequence ONCE to a 128-multiple so every layer runs
     # tile-aligned and the attention kernels need no per-layer padding; the
     # padding is masked in attention and sliced off at pooling, so outputs
@@ -364,6 +392,8 @@ class SiT(nn.Module):
             precision=self.precision,
             torch_init=self.torch_init,
             remat=self.remat,
+            seq_shard_axis=self.seq_shard_axis,
+            seq_mesh=self.seq_mesh,
             name="encoder",
         )
         self.head_norm = nn.LayerNorm(
@@ -475,6 +505,7 @@ class SiT(nn.Module):
                     if tpu.matmul_precision == "highest"
                     else None
                 ),
+                seq_shard_axis="model" if getattr(tpu, "seq_sharding", False) else None,
             )
         kw.update(overrides)
         return cls(**kw)

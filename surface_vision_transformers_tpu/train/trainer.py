@@ -93,7 +93,12 @@ class Trainer:
         self.exp = exp
         self.mesh = mesh
         self.augment = augment  # callable(key, batch) -> batch, train-only
-        self.model = model or SiT.from_config(exp, patch_table=patch_table)
+        model_overrides = {}
+        if mesh is not None and getattr(exp.tpu, "seq_sharding", False):
+            model_overrides = {"seq_mesh": mesh}
+        self.model = model or SiT.from_config(
+            exp, patch_table=patch_table, **model_overrides
+        )
         self.task = "mpp" if exp.is_pretraining else "regression"
         if self.task == "mpp":
             m = exp.mpp
@@ -168,6 +173,7 @@ class Trainer:
             and self.model.dropout == 0.0
             and self.model.emb_dropout == 0.0
             and self.model.padded_len % 128 == 0
+            and self.model.seq_shard_axis is None
         )
 
     def _loss(self, params, batch, targets, weights, rng, deterministic):

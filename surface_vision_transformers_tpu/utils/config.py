@@ -159,6 +159,7 @@ class TPUConfig:
     debug_nans: bool = False  # jax_debug_nans sanitizer (SURVEY §5)
     profile_epoch: int = -1  # write a jax.profiler trace for this epoch
     fused_train: bool = True  # fused-block kernels in the training forward
+    seq_sharding: bool = False  # shard token activations over the model axis
 
 
 @dataclasses.dataclass(frozen=True)
@@ -299,6 +300,7 @@ def from_dict(raw: dict) -> Experiment:
         debug_nans=bool(tp.get("debug_nans", False)),
         profile_epoch=int(tp.get("profile_epoch", -1)),
         fused_train=bool(tp.get("fused_train", True)),
+        seq_sharding=bool(tp.get("seq_sharding", False)),
     )
 
     mpp = None

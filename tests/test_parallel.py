@@ -139,3 +139,38 @@ def test_mpp_sharded_training_matches_single_device(data):
         d = shard_batch(jnp.asarray(d_np), mesh)
         s1, m1 = t1.train_epoch(s1, d)
     assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
+
+
+def test_sequence_parallel_matches_replicated(data):
+    """sp: sharding token activations over the model axis must not change
+    results (GSPMD inserts the collectives)."""
+    d_np, l_np = data
+    raw = {
+        "resolution": {"ico": 2, "sub_ico": 0},
+        "transformer": {"dim": 64, "depth": 2, "heads": 2, "mlp_dim": 128,
+                        "dim_head": 32},
+        "training": {"LR": 1e-3, "bs": 16, "epochs": 1, "seed": 0},
+        "optimisation": {"optimiser": "Adam"},
+        "tpu": {"compute_dtype": "float32"},
+    }
+    from surface_vision_transformers_tpu.utils.config import from_dict
+
+    exp_plain = from_dict(raw)
+    raw_sp = dict(raw); raw_sp["tpu"] = {"compute_dtype": "float32",
+                                         "seq_sharding": True}
+    exp_sp = from_dict(raw_sp)
+
+    t0 = Trainer(exp_plain)
+    s0 = t0.init_state(d_np[:1])
+    s0, m0 = t0.train_epoch(s0, jnp.asarray(d_np), jnp.asarray(l_np))
+
+    mesh = make_mesh(2, 1, 4)
+    t1 = Trainer(exp_sp, mesh=mesh)
+    s1 = t1.init_state(d_np[:1])
+    # with_sharding_constraint(PartitionSpec) needs the jax.set_mesh context
+    with jax.set_mesh(mesh):
+        s1 = s1.replace(params=shard_params(s1.params, mesh))
+        d = shard_batch(jnp.asarray(d_np), mesh)
+        l = shard_batch(jnp.asarray(l_np), mesh)
+        s1, m1 = t1.train_epoch(s1, d, l)
+    assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
