@@ -19,7 +19,17 @@ def parse_config(description: str) -> dict:
         metavar="dotted.key=value",
         help="override a config value (repeatable), e.g. --set training.bs=64",
     )
+    p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="join the multi-process JAX runtime before running (one launch "
+        "per host; coordinator/process ids from the TPU-pod environment)",
+    )
     args = p.parse_args()
+    if args.multihost:
+        from surface_vision_transformers_tpu.parallel import initialize_multihost
+
+        initialize_multihost()
     with open(args.config) as f:
         raw = yaml.safe_load(f)
     for ov in args.set:

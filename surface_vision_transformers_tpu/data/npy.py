@@ -34,8 +34,11 @@ def load_split(
 def load_norm_stats(
     label_path: str | os.PathLike, task: str, configuration: str
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Load means/stds (1, C, 1) from labels/{task}/{configuration}/."""
-    d = Path(label_path) / task / configuration
+    """Load means/stds (1, C, 1) from labels/{task}/{configuration}/; an
+    empty/missing label dir falls back to the shipped dHCP assets."""
+    from surface_vision_transformers_tpu.data.preprocess import resolve_label_dir
+
+    d = Path(resolve_label_dir(label_path, task)) / task / configuration
     return np.load(d / "means.npy"), np.load(d / "stds.npy")
 
 

@@ -35,6 +35,26 @@ from surface_vision_transformers_tpu.geometry import load_patch_table
 from surface_vision_transformers_tpu.utils.config import _get
 
 
+# Shipped dHCP recipe assets: subject-id/label CSVs and per-channel z-score
+# stats for both tasks x both spaces, converted from the reference's data
+# files (reference labels/dHCP/*, consumed at tools/preprocessing.py:51-56).
+# Pure data (ids, ages in weeks, 4 floats per stat), not code.
+SHIPPED_LABEL_DIR = (
+    Path(__file__).resolve().parent.parent.parent / "assets" / "labels" / "dHCP"
+)
+
+
+def resolve_label_dir(label_path: str | os.PathLike, task: str) -> Path:
+    """The label directory for the run: the configured path when it holds
+    ``{task}/`` (or is non-empty), else the shipped assets — so the stock
+    dHCP recipes run with zero extra user files."""
+    if label_path:
+        p = Path(label_path)
+        if (p / task).exists() or not (SHIPPED_LABEL_DIR / task).exists():
+            return p
+    return SHIPPED_LABEL_DIR
+
+
 def read_label_csv(path: str | os.PathLike) -> tuple[np.ndarray, np.ndarray]:
     """Read a reference label CSV with 'ids' and 'labels' columns."""
     with open(path, newline="") as f:
@@ -77,7 +97,7 @@ def run(config: dict, *, export_raw: bool = False) -> dict:
     channels = int(_get(config, "data.channels", 4))
     task = _get(config, "data.task", "scan_age")
     data_path = _get(config, "data.data_path")
-    label_path = _get(config, "data.label_path")
+    label_path = resolve_label_dir(_get(config, "data.label_path", ""), task)
     output_folder = _get(config, "output.folder").format(task, configuration)
 
     ids, labels = read_label_csv(Path(label_path) / task / f"{split}.csv")

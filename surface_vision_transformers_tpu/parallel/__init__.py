@@ -2,22 +2,32 @@ from surface_vision_transformers_tpu.parallel.mesh import (
     AXES,
     batch_pspec,
     make_mesh,
+    mesh_from_config,
     param_pspec,
     params_pspecs,
     params_shardings,
     shard_batch,
     shard_params,
+    shard_state,
     state_shardings,
+)
+from surface_vision_transformers_tpu.parallel.multihost import (
+    initialize_multihost,
+    local_batch_to_global,
 )
 
 __all__ = [
     "AXES",
     "batch_pspec",
     "make_mesh",
+    "mesh_from_config",
     "param_pspec",
     "params_pspecs",
     "params_shardings",
     "shard_batch",
     "shard_params",
+    "shard_state",
     "state_shardings",
+    "initialize_multihost",
+    "local_batch_to_global",
 ]

@@ -36,12 +36,29 @@ def make_mesh(
         if n % (fsdp * model):
             raise ValueError(f"{n} devices not divisible by fsdp*model={fsdp * model}")
         data = n // (fsdp * model)
-    if data * fsdp * model != n:
-        raise ValueError(
-            f"mesh {data}x{fsdp}x{model} != {n} devices"
-        )
+    if data * fsdp * model > n:
+        raise ValueError(f"mesh {data}x{fsdp}x{model} > {n} devices")
+    devices = devices[: data * fsdp * model]
     arr = np.asarray(devices).reshape(data, fsdp, model)
     return Mesh(arr, AXES)
+
+
+def mesh_from_config(tpu_cfg, devices=None) -> Optional[Mesh]:
+    """The product-path mesh: build ('data','fsdp','model') from the
+    ``tpu.mesh_{data,fsdp,model}`` config keys (the public entry points run
+    everything through this — a v5e-8 user gets 8-way DP from the default
+    config with zero extra flags; reference equivalent: the single
+    ``cuda:{gpu}`` bind at tools/train.py:72).
+
+    Returns ``None`` when the run is single-device with no sharding
+    requested, so the trivial case skips GSPMD entirely."""
+    devices = list(devices if devices is not None else jax.devices())
+    data = getattr(tpu_cfg, "mesh_data", -1)
+    fsdp = getattr(tpu_cfg, "mesh_fsdp", 1)
+    model = getattr(tpu_cfg, "mesh_model", 1)
+    if fsdp == 1 and model == 1 and (data == -1 or data == 1) and len(devices) == 1:
+        return None
+    return make_mesh(data=data, fsdp=fsdp, model=model, devices=devices)
 
 
 def batch_pspec(ndim: int) -> P:
@@ -124,23 +141,38 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 def state_shardings(state: Any, params: Any, mesh: Mesh) -> Any:
     """Shardings for a full TrainState: params + matching optimizer moments
-    (same shape -> same spec), scalars/PRNG replicated."""
+    (optax mu/nu/momentum buffers mirror the param tree, so their leaf paths
+    end with the param's path), scalars/PRNG replicated."""
     pspecs = params_pspecs(params, mesh)
-    shape_to_spec = {}
-    for (kp, leaf), spec in zip(
-        jax.tree_util.tree_flatten_with_path(params)[0], jax.tree.leaves(pspecs, is_leaf=lambda x: isinstance(x, P))
+    path_to_spec: dict[str, P] = {}
+    for (kp, _), (_, spec) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(
+            pspecs, is_leaf=lambda x: isinstance(x, P)
+        )[0],
     ):
-        shape_to_spec[_path_str(kp)] = spec
+        path_to_spec["/" + _path_str(kp)] = spec
+    replicated_sh = NamedSharding(mesh, P())
+    sharding_cache = {P(): replicated_sh}
 
     def spec_for(kp, leaf):
-        # match optimizer-state leaves to params by trailing path (mu/nu/
-        # momentum buffers mirror the param tree)
-        path = _path_str(kp)
-        for ppath, spec in shape_to_spec.items():
+        if np.ndim(leaf) == 0:
+            return replicated_sh
+        path = "/" + _path_str(kp)
+        # optimizer-state paths are '<wrapper fields>/<param path>'; exact
+        # param paths match themselves
+        for ppath, spec in path_to_spec.items():
             if path.endswith(ppath):
-                return NamedSharding(
-                    Mesh(mesh.devices, mesh.axis_names), spec
-                )
-        return NamedSharding(mesh, P())
+                if spec not in sharding_cache:
+                    sharding_cache[spec] = NamedSharding(mesh, spec)
+                return sharding_cache[spec]
+        return replicated_sh
 
     return jax.tree_util.tree_map_with_path(spec_for, state)
+
+
+def shard_state(state: Any, mesh: Mesh) -> Any:
+    """Place a full TrainState onto the mesh: params + optimizer moments per
+    the TP/FSDP rules, everything else replicated."""
+    shardings = state_shardings(state, state.params, mesh)
+    return jax.tree.map(jax.device_put, state, shardings)

@@ -42,6 +42,34 @@ from surface_vision_transformers_tpu.utils.config import (
 )
 
 
+def _resolve_mesh(exp: Experiment, mesh):
+    """The product-path mesh: explicit argument wins, else built from the
+    ``tpu.mesh_{data,fsdp,model}`` config keys over all visible devices
+    (every process's, when multi-host). None means single-device."""
+    if mesh is not None:
+        return mesh
+    from surface_vision_transformers_tpu.parallel import mesh_from_config
+
+    return mesh_from_config(exp.tpu)
+
+
+def _mesh_context(mesh):
+    """Context for sharded runs: ``jax.set_mesh`` so in-model
+    ``with_sharding_constraint(PartitionSpec)`` annotations (sequence
+    sharding) resolve axis names."""
+    import contextlib
+
+    return jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+
+
+def _shard_state(state, mesh):
+    if mesh is None:
+        return state
+    from surface_vision_transformers_tpu.parallel import shard_state
+
+    return shard_state(state, mesh)
+
+
 def _write_preds_csv(path, preds, targets) -> None:
     import csv
 
@@ -63,12 +91,29 @@ def load_datasets(exp: Experiment, splits=("train", "validation")) -> dict:
 
 
 def _device_put(exp: Experiment, arr: np.ndarray, mesh=None):
-    x = jnp.asarray(arr)
-    if mesh is not None:
-        from surface_vision_transformers_tpu.parallel import shard_batch
+    """Batch arrays onto the device(s): plain transfer single-device, batch-
+    sharded under a mesh, assembled from per-process local rows multi-host."""
+    if mesh is None:
+        return jnp.asarray(arr)
+    from surface_vision_transformers_tpu.parallel import local_batch_to_global
+    from surface_vision_transformers_tpu.parallel.multihost import (
+        process_local_slice,
+    )
 
-        x = shard_batch(x, mesh)
-    return x
+    arr = np.asarray(arr)
+    n_global = arr.shape[0]
+    n_shards = mesh.shape["data"] * mesh.shape["fsdp"]
+    if n_global % n_shards:
+        # dataset rows don't divide the data axes: keep the (small) dataset
+        # replicated; the per-step BATCH still shards via the trainer's
+        # with_sharding_constraint, so compute stays fully data-parallel
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(arr, NamedSharding(mesh, PartitionSpec()))
+    if jax.process_count() > 1:
+        start, stop = process_local_slice(n_global)
+        arr = arr[start:stop]
+    return local_batch_to_global(arr, mesh, n_global)
 
 
 def _load_initial_weights(exp: Experiment, trainer: Trainer, state: TrainState):
@@ -148,7 +193,28 @@ def run_training(
     progress: bool = True,
 ) -> dict:
     """Supervised or MPP training per the config. Returns a results dict
-    (best metric, epochs, run_dir...)."""
+    (best metric, epochs, run_dir...).
+
+    This is the public entry-point contract (reference tools/train.py:443-459
+    / tools/pretrain.py): multi-chip runs need nothing beyond the YAML —
+    ``tpu.mesh_{data,fsdp,model}`` builds the mesh, parameters/optimizer
+    state shard per the TP/FSDP rules, batches shard over the data axes."""
+    mesh = _resolve_mesh(exp, mesh)
+    with _mesh_context(mesh):
+        return _run_training_inner(
+            exp, datasets=datasets, run_root=run_root, mesh=mesh,
+            progress=progress,
+        )
+
+
+def _run_training_inner(
+    exp: Experiment,
+    *,
+    datasets: Optional[dict],
+    run_root: Optional[str],
+    mesh,
+    progress: bool,
+) -> dict:
     from surface_vision_transformers_tpu.utils.env import enable_compilation_cache
 
     enable_compilation_cache()
@@ -187,9 +253,13 @@ def run_training(
             raise ValueError(
                 "augmentation with an atlas-ordered patch table (e.g. the "
                 "shipped dHCP tables) needs the matching sphere coordinates: "
-                "set augmentation.sphere_path to the atlas sphere .surf.gii. "
-                "Rotation tables built from the canonical icosphere would "
-                "scramble atlas-ordered data."
+                "set augmentation.sphere_path to the atlas sphere .surf.gii "
+                "(for dHCP data that's the ico-6 sphere shipped with every "
+                "dHCP download, e.g. "
+                "week-40_hemi-left_space-dhcpSym_dens-ico6_sphere.surf.gii). "
+                "The atlas numbering is not recoverable from the patch "
+                "tables (see assets/README.md); rotation tables built from "
+                "the canonical icosphere would scramble atlas-ordered data."
             )
         augment = SurfaceAugment(
             ico=exp.ico,
@@ -207,6 +277,7 @@ def run_training(
     trainer = Trainer(exp, mesh=mesh, patch_table=table, augment=augment)
     state = trainer.init_state(train_data[:1])
     state = _load_initial_weights(exp, trainer, state)
+    state = _shard_state(state, mesh)
 
     d_train = _device_put(exp, train_data, mesh)
     l_train = _device_put(exp, train_labels, mesh) if train_labels is not None else None
@@ -297,11 +368,15 @@ def run_training(
         "wall_s": round(time.time() - t_start, 2),
         "training_finished": True,
     }
+    if mesh is not None:
+        results["mesh"] = {k: int(v) for k, v in mesh.shape.items()}
 
     if exp.training.testing and "test" in datasets:
         test_data, test_labels = datasets["test"]
         tm, preds = trainer.evaluate(
-            state, _device_put(exp, test_data, mesh), jnp.asarray(test_labels)
+            state,
+            _device_put(exp, test_data, mesh),
+            _device_put(exp, test_labels, mesh),
         )
         _write_preds_csv(run_dir / "test_preds.csv", preds, test_labels)
         results["test_mae"] = float(tm.mae)
@@ -318,7 +393,9 @@ def run_testing(
     params=None,
     mesh=None,
 ) -> dict:
-    """Batched inference + MAE + results.csv (reference tools/testing.py)."""
+    """Batched inference + metric + results.csv (reference tools/testing.py).
+    Regression configs report MAE and write (pred, target) rows; MPP configs
+    report the reconstruction loss (no per-sample predictions to export)."""
     split = exp.data.split or "validation"
     datasets = datasets or load_datasets(exp, splits=(split,))
     data, labels = datasets[split]
@@ -326,42 +403,62 @@ def run_testing(
     table = None
     if data.ndim == 3:
         table = load_patch_table(exp.ico, exp.sub_ico).indices
-    trainer = Trainer(exp, mesh=mesh, patch_table=table)
-    state = trainer.init_state(data[:1])
-    if params is not None:
-        state = trainer.load_params(state, params)
-    elif exp.ckpt_path:
-        ckpt = Path(exp.ckpt_path)
-        if ckpt.is_dir() and (ckpt / "best").exists():
-            state, _ = orbax_io.restore_state(ckpt / "best", state)
-        elif ckpt.is_dir() and (ckpt / "state").exists():
-            state, _ = orbax_io.restore_state(ckpt, state)
-        else:
-            loaded = _load_params_any(str(ckpt), exp.model.depth)
-            state = trainer.load_params(
-                state, merge_params(jax.tree.map(np.asarray, state.params), loaded)
-            )
+    mesh = _resolve_mesh(exp, mesh)
+    with _mesh_context(mesh):
+        trainer = Trainer(exp, mesh=mesh, patch_table=table)
+        state = trainer.init_state(data[:1])
+        if params is not None:
+            state = trainer.load_params(state, params)
+        elif exp.ckpt_path:
+            ckpt = Path(exp.ckpt_path)
+            if ckpt.is_dir() and (ckpt / "best").exists():
+                state, _ = orbax_io.restore_state(ckpt / "best", state)
+            elif ckpt.is_dir() and (ckpt / "state").exists():
+                state, _ = orbax_io.restore_state(ckpt, state)
+            else:
+                loaded = _load_params_any(str(ckpt), exp.model.depth)
+                state = trainer.load_params(
+                    state,
+                    merge_params(jax.tree.map(np.asarray, state.params), loaded),
+                )
+        state = _shard_state(state, mesh)
 
-    m, preds = trainer.evaluate(
-        state, _device_put(exp, data, mesh), jnp.asarray(labels)
-    )
+        m, preds = trainer.evaluate(
+            state,
+            _device_put(exp, data, mesh),
+            _device_put(exp, labels, mesh) if labels is not None else None,
+        )
     out_dir = Path(exp.ckpt_path) if exp.ckpt_path else Path(exp.logging_folder)
     if out_dir.is_file() or out_dir.suffix in (".npz", ".pt", ".pth"):
         out_dir = out_dir.parent
     out_dir.mkdir(parents=True, exist_ok=True)
-    _write_preds_csv(out_dir / "results.csv", preds, labels)
-    return {"mae": float(m.mae), "n": int(data.shape[0]), "split": split}
+    results = {"n": int(data.shape[0]), "split": split}
+    if trainer.task == "mpp":
+        results["loss"] = float(m.loss)
+    else:
+        _write_preds_csv(out_dir / "results.csv", preds, labels)
+        results["mae"] = float(m.mae)
+    return results
 
 
-def resume(exp: Experiment, run_dir: str, datasets: Optional[dict] = None):
+def resume(
+    exp: Experiment, run_dir: str, datasets: Optional[dict] = None, mesh=None
+):
     """Exact resume from an orbax checkpoint (no reference equivalent —
-    SURVEY §5 notes the reference saves optimizer state but never reads it)."""
+    SURVEY §5 notes the reference saves optimizer state but never reads it).
+    Mesh-aware: under a mesh (explicit or from ``tpu.mesh_*``) the template
+    is sharded first, so orbax restores each leaf directly onto its
+    TP/FSDP/replicated placement. The mesh is available as ``trainer.mesh``;
+    continue training inside ``jax.set_mesh(trainer.mesh)``."""
     datasets = datasets or load_datasets(exp)
     train_data, _ = datasets["train"]
     table = None
     if train_data.ndim == 3:
         table = load_patch_table(exp.ico, exp.sub_ico).indices
-    trainer = Trainer(exp, patch_table=table)
-    state = trainer.init_state(train_data[:1])
-    state, meta = orbax_io.restore_state(Path(run_dir) / "best", state)
+    mesh = _resolve_mesh(exp, mesh)
+    with _mesh_context(mesh):
+        trainer = Trainer(exp, mesh=mesh, patch_table=table)
+        state = trainer.init_state(train_data[:1])
+        state = _shard_state(state, mesh)
+        state, meta = orbax_io.restore_state(Path(run_dir) / "best", state)
     return trainer, state, meta

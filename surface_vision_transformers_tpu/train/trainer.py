@@ -157,6 +157,21 @@ class Trainer:
     def load_params(self, state: TrainState, params) -> TrainState:
         return state.replace(params=params, opt_state=self.optimizer.init(params))
 
+    def _constrain_batch(self, x):
+        """Pin per-step batch tensors to the ('data','fsdp') axes inside jit.
+        This keeps compute data-parallel even when the whole dataset array is
+        replicated (e.g. its row count doesn't divide the mesh); GSPMD pads
+        uneven shards internally."""
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding
+
+        from surface_vision_transformers_tpu.parallel import batch_pspec
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, batch_pspec(x.ndim))
+        )
+
     # -- single-step loss ----------------------------------------------------
 
     def _use_fused_train(self) -> bool:
@@ -224,9 +239,9 @@ class Trainer:
         def epoch_fn(state: TrainState, data, targets, idx, w):
             def one_step(state, sl):
                 b_idx, b_w = sl
-                batch = jnp.take(data, b_idx, axis=0)
+                batch = self._constrain_batch(jnp.take(data, b_idx, axis=0))
                 tgt = (
-                    jnp.take(targets, b_idx, axis=0)
+                    self._constrain_batch(jnp.take(targets, b_idx, axis=0))
                     if targets is not None
                     else None
                 )
@@ -345,7 +360,7 @@ class Trainer:
         def eval_fn(params, data, targets, idx, w):
             def one_step(carry, sl):
                 b_idx, b_w = sl
-                batch = jnp.take(data, b_idx, axis=0)
+                batch = self._constrain_batch(jnp.take(data, b_idx, axis=0))
                 if self.task == "mpp":
                     # deterministic eval corruption: fixed fold-in of batch idx
                     rng = jax.random.fold_in(jax.random.PRNGKey(1234), b_idx[0])

