@@ -32,11 +32,20 @@ def _layer_norm(x, scale, bias, eps=1e-5):
 
 def fused_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
     """Inference-only forward with fused-block kernels. x: raw (B, C, G) or
-    pre-patched (B, C, L, V); returns (B, num_classes)."""
+    pre-patched (B, C, L, V); returns (B, num_classes).
+
+    The sequence pads to the next SUBLANE multiple (N % 8; 321 -> 328 for
+    sub-ico-2) rather than the modular path's lane multiple (384): score
+    intermediates are VREG-padded by Mosaic either way, so the smaller pad
+    saves ~15% of the row work. With CLS pooling the final block runs the
+    ``fused_block_cls`` kernel, which computes only the 8-row output tile the
+    pool reads (~1/7 of a full block)."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        fused_block_cls,
+    )
+
     p = variables["params"] if "params" in variables else variables
     dt = model.dtype
-    if model.padded_len % 128 != 0:
-        raise NotImplementedError("fused_forward requires seq_pad=True")
 
     if x.ndim == 3:
         tokens = fused_patch_embed(
@@ -54,15 +63,20 @@ def fused_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
     cls = jnp.broadcast_to(p["cls_token"].astype(dt), (B, 1, model.dim))
     h = jnp.concatenate([cls, tokens], axis=1)
     h = h + p["pos_embedding"][:, : n + 1].astype(dt)
-    if model.padded_len > n + 1:
-        h = jnp.pad(h, [(0, 0), (0, model.padded_len - (n + 1)), (0, 0)])
+    n_pad = -(-(n + 1) // 8) * 8
+    if n_pad > n + 1:
+        h = jnp.pad(h, [(0, 0), (0, n_pad - (n + 1)), (0, 0)])
 
-    valid = model.valid_len if model.padded_len > model.valid_len else None
+    valid = n + 1 if n_pad > n + 1 else None
     enc = p["encoder"]
+    cls_last = model.pool == "cls"
     for i in range(model.depth):
         a = enc[f"layers_{i}_attn"]
         m = enc[f"layers_{i}_mlp"]
-        h = fused_block(
+        block_fn = (
+            fused_block_cls if (cls_last and i == model.depth - 1) else fused_block
+        )
+        h = block_fn(
             h,
             a["norm"]["scale"], a["norm"]["bias"], a["to_qkv"]["kernel"].astype(dt),
             a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
@@ -73,7 +87,7 @@ def fused_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
         )
 
     if model.pool == "mean":
-        pooled = jnp.mean(h[:, : model.valid_len], axis=1)
+        pooled = jnp.mean(h[:, : n + 1], axis=1)
     else:
         pooled = h[:, 0]
     out = _layer_norm(
@@ -92,9 +106,7 @@ def predict(model: SiT, variables, data, *, batch_size: int = 256):
     import numpy as np
 
     use_fused = (
-        jax.default_backend() == "tpu"
-        and model.dtype == jnp.bfloat16
-        and model.padded_len % 128 == 0
+        jax.default_backend() == "tpu" and model.dtype == jnp.bfloat16
     )
 
     @jax.jit

@@ -346,7 +346,6 @@ class Trainer:
             and _jax.default_backend() == "tpu"
             and self.model.dtype == jnp.bfloat16
             and self.model.precision is None
-            and self.model.padded_len % 128 == 0
         )
 
     def _infer(self, params, batch):

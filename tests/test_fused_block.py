@@ -41,12 +41,19 @@ def test_fused_forward_prepatched_and_mean_pool():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
 
 
-def test_fused_forward_requires_padding():
+def test_fused_forward_pads_internally():
+    """fused_forward no longer needs the model's lane-aligned seq_pad: it
+    pads to the next sublane multiple itself (321 -> 328) and matches the
+    modular forward either way."""
     model = SiT(dtype=jnp.float32, seq_pad=False, **CFG)
-    x = jnp.zeros((1, 4, 320, 153))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 320, 153)) * 0.1
     params = model.init(jax.random.PRNGKey(0), x)
-    with pytest.raises(NotImplementedError):
-        fused_forward(model, params, x)
+    ref = model.apply(params, x)
+    out = fused_forward(model, params, x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-3, rtol=1e-3
+    )
 
 
 def test_trainer_eval_fused_dispatch(setup):
