@@ -103,30 +103,38 @@ def main():
         if tput > best_tput:
             best_tput, best_bs = tput, bs
 
-    # train-step throughput (supervised recipe, Adam)
-    exp = from_dict({
-        "resolution": {"ico": 6, "sub_ico": 2},
-        "transformer": {"dim": 192, "depth": 12, "heads": 3, "mlp_dim": 768},
-        "training": {"LR": 1e-4, "bs": 256, "epochs": 1},
-        "optimisation": {"optimiser": "Adam"},
-    })
-    trainer = Trainer(exp, model=model)
-    n_train = 2560  # 10 steps of bs=256 amortizes the relay dispatch latency
-    xb = jax.random.normal(key, (n_train, 4, 40962), jnp.float32)
-    yb = jax.random.normal(key, (n_train,))
-    state = trainer.init_state(xb[:1])
-    t0 = time.perf_counter()
-    state, _ = trainer.train_epoch(state, xb, yb)  # compile
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    state, m = trainer.train_epoch(state, xb, yb)
-    jax.block_until_ready(state.params)
-    epoch_s = time.perf_counter() - t0
-    details["train"] = {
-        "bs": 256, "steps": n_train // 256, "epoch_s": round(epoch_s, 4),
-        "surfaces_per_s": round(n_train / epoch_s, 1),
-        "compile_s": round(compile_s, 1),
-    }
+    # train-step throughput on the reference's supervised recipe (SGD
+    # momentum 0.9, reference config/SiT/training/hparams.yml) at the recipe
+    # bs=256 and the saturating bs=512/1024; raw vertices feed bf16 like
+    # inference
+    details["train"] = {}
+    best_train = 0.0
+    for bs, n_train in ((256, 2560), (512, 2560), (1024, 8192)):
+        xb = jax.random.normal(key, (n_train, 4, 40962), jnp.bfloat16)
+        yb = jax.random.normal(key, (n_train,))
+        exp = from_dict({
+            "resolution": {"ico": 6, "sub_ico": 2},
+            "transformer": {"dim": 192, "depth": 12, "heads": 3,
+                            "mlp_dim": 768},
+            "training": {"LR": 1e-5, "bs": bs, "epochs": 1},
+            "optimisation": {"optimiser": "SGD"},
+            "SGD": {"momentum": 0.9},
+        })
+        trainer = Trainer(exp, model=model)
+        state = trainer.init_state(xb[:1])
+        t0 = time.perf_counter()
+        state, _ = trainer.train_epoch(state, xb, yb)  # compile
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, m = trainer.train_epoch(state, xb, yb)
+        epoch_s = time.perf_counter() - t0  # train_epoch fetches its scalars
+        details["train"][bs] = {
+            "steps": n_train // bs, "epoch_s": round(epoch_s, 4),
+            "surfaces_per_s": round(n_train / epoch_s, 1),
+            "compile_s": round(compile_s, 1),
+        }
+        best_train = max(best_train, n_train / epoch_s)
+    details["train"]["best_surfaces_per_s"] = round(best_train, 1)
 
     details["best_batch"] = best_bs
     details["baseline_a100_estimate_surfaces_per_s"] = BASELINE_A100_SURFACES_PER_S

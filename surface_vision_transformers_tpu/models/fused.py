@@ -142,8 +142,6 @@ def fused_train_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
 
     p = variables["params"] if "params" in variables else variables
     dt = model.dtype
-    if model.padded_len % 128 != 0:
-        raise NotImplementedError("fused_train_forward requires seq_pad=True")
 
     if x.ndim == 3:
         tokens = fused_patch_embed(
@@ -161,15 +159,28 @@ def fused_train_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
     cls = jnp.broadcast_to(p["cls_token"].astype(dt), (B, 1, model.dim))
     h = jnp.concatenate([cls, tokens], axis=1)
     h = h + p["pos_embedding"][:, : n + 1].astype(dt)
-    if model.padded_len > n + 1:
-        h = jnp.pad(h, [(0, 0), (0, model.padded_len - (n + 1)), (0, 0)])
+    # sublane padding (N % 8, like fused_forward); the chained backward
+    # measured faster at 328 than the lane-aligned 384 too
+    n_pad = -(-(n + 1) // 8) * 8
+    if n_pad > n + 1:
+        h = jnp.pad(h, [(0, 0), (0, n_pad - (n + 1)), (0, 0)])
 
-    valid = model.valid_len
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        fused_block_cls_train,
+    )
+
+    valid = n + 1
     enc = p["encoder"]
+    cls_last = model.pool == "cls"
     for i in range(model.depth):
         a = enc[f"layers_{i}_attn"]
         m = enc[f"layers_{i}_mlp"]
-        h = fused_block_train(
+        block_fn = (
+            fused_block_cls_train
+            if (cls_last and i == model.depth - 1)
+            else fused_block_train
+        )
+        h = block_fn(
             h,
             a["norm"]["scale"], a["norm"]["bias"], a["to_qkv"]["kernel"].astype(dt),
             a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
@@ -180,7 +191,7 @@ def fused_train_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
         )
 
     if model.pool == "mean":
-        pooled = jnp.mean(h[:, : model.valid_len], axis=1)
+        pooled = jnp.mean(h[:, : n + 1], axis=1)
     else:
         pooled = h[:, 0]
     out = _layer_norm(
@@ -235,8 +246,9 @@ def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None):
     cls = jnp.broadcast_to(ep["cls_token"].astype(dt), (B, 1, enc_model.dim))
     h = jnp.concatenate([cls, tokens], axis=1)
     h = h + ep["pos_embedding"][:, : n + 1].astype(dt)
-    if enc_model.padded_len > n + 1:
-        h = jnp.pad(h, [(0, 0), (0, enc_model.padded_len - (n + 1)), (0, 0)])
+    n_pad = -(-(n + 1) // 8) * 8
+    if n_pad > n + 1:
+        h = jnp.pad(h, [(0, 0), (0, n_pad - (n + 1)), (0, 0)])
 
     enc = ep["encoder"]
     for i in range(enc_model.depth):
@@ -249,7 +261,7 @@ def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None):
             m["norm"]["scale"], m["norm"]["bias"],
             m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
             m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
-            enc_model.heads, enc_model.dim_head, enc_model.valid_len,
+            enc_model.heads, enc_model.dim_head, n + 1,
         )
     h = h[:, 1 : n + 1]
 

@@ -73,6 +73,11 @@ class Attention(nn.Module):
     param_dtype: Dtype = jnp.float32
     precision: Any = None
     torch_init: bool = True
+    # sequence parallelism: tokens sharded over this mesh axis; attention
+    # runs the flash kernel per shard on LOCAL queries against all-gathered
+    # keys/values (shard_map over seq_mesh)
+    seq_shard_axis: Optional[str] = None
+    seq_mesh: Any = None
 
     def _use_packed_kernel(self, seq_len: int) -> bool:
         """The packed-QKV Pallas kernel needs a tile-aligned sequence and a
@@ -87,6 +92,55 @@ class Attention(nn.Module):
         if self.attn_backend == "pallas":
             return True
         return jax.default_backend() == "tpu"
+
+    def _seq_parallel_attention(self, qkv, valid_len):
+        """Sequence-parallel attention keeping the Pallas kernel (VERDICT r1
+        #7): tokens stay sharded over ``seq_shard_axis``; each shard
+        all-gathers only K|V (2/3 of the activations, one ICI all-gather) and
+        runs the flash kernel on its local queries against the full
+        keys/values. The kernel's custom VJP composes with shard_map — the
+        all-gather's transpose (reduce-scatter) carries dK/dV home."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+            flash_attention,
+        )
+
+        axis = self.seq_shard_axis
+        inner = self.heads * self.dim_head
+        N = qkv.shape[1]
+        vl = N if valid_len is None else int(valid_len)
+
+        def local_attn(qkv_loc):
+            b, n_loc = qkv_loc.shape[0], qkv_loc.shape[1]
+            q = qkv_loc[..., :inner]
+            kv = qkv_loc[..., inner:]
+            kv_full = jax.lax.all_gather(kv, axis, axis=1, tiled=True)
+            k = kv_full[..., :inner]
+            v = kv_full[..., inner:]
+
+            def heads_t(t):
+                return t.reshape(
+                    b, t.shape[1], self.heads, self.dim_head
+                ).transpose(0, 2, 1, 3)
+
+            o = flash_attention(heads_t(q), heads_t(k), heads_t(v), vl)
+            o = o.transpose(0, 2, 1, 3).reshape(b, n_loc, inner)
+            # zero padding-row outputs so their cotangents don't reach the
+            # kernel (garbage dq rows would leak into the QKV weight grads);
+            # padding rows are masked downstream anyway
+            start = jax.lax.axis_index(axis) * n_loc
+            gl_row = start + jnp.arange(n_loc)
+            return jnp.where((gl_row < vl)[None, :, None], o, 0.0).astype(
+                o.dtype
+            )
+
+        spec = P(("data", "fsdp"), axis, None)
+        return shard_map(
+            local_attn, mesh=self.seq_mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )(qkv)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, valid_len=None):
@@ -134,6 +188,20 @@ class Attention(nn.Module):
                 "bhnm,bhmd->bhnd", weights, v, precision=self.precision
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+        elif (
+            self.seq_shard_axis is not None
+            and self.seq_mesh is not None
+            and self._use_packed_kernel(N)
+            and N % self.seq_mesh.shape.get(self.seq_shard_axis, 1) == 0
+            and B % (self.seq_mesh.shape.get("data", 1)
+                     * self.seq_mesh.shape.get("fsdp", 1)) == 0
+        ):
+            out = self._seq_parallel_attention(qkv, valid_len)
+        elif self.seq_shard_axis is not None:
+            # kernel not applicable under sharding: the einsum path below
+            # lets GSPMD insert the collectives (never run an unpartitionable
+            # pallas call on sharded activations — XLA would replicate it)
+            pass
         elif self._use_packed_kernel(N):
             from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
                 flash_attention_qkv,
@@ -277,9 +345,14 @@ class Encoder(nn.Module):
                 heads=self.heads,
                 dim_head=self.dim_head,
                 dropout=self.dropout,
-                # under sequence sharding, GSPMD cannot partition the custom
-                # pallas call; the einsum path lets it insert the collectives
-                attn_backend="xla" if self.seq_shard_axis else self.attn_backend,
+                # under sequence sharding the attention runs a shard_map'd
+                # flash kernel on local queries + all-gathered K/V; when the
+                # kernel doesn't apply (dropout, parity precision, CPU with
+                # backend 'auto') the einsum path lets GSPMD insert the
+                # collectives instead
+                attn_backend=self.attn_backend,
+                seq_shard_axis=self.seq_shard_axis,
+                seq_mesh=self.seq_mesh,
                 name=f"layers_{i}_attn",
                 **common,
             )(x, deterministic=deterministic, valid_len=valid_len)

@@ -56,8 +56,8 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, valid_len, group):
-    np_ = q_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    nq, nk = q_ref.shape[1], k_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1)
     for g in range(group):
         s = jax.lax.dot_general(
             q_ref[g], k_ref[g], (((1,), (1,)), ((), ())),
@@ -80,9 +80,9 @@ def _bwd_kernel(
     q_ref, k_ref, v_ref, lse_ref, g_ref, dq_ref, dk_ref, dv_ref,
     *, scale, valid_len, group,
 ):
-    np_ = q_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    nq, nk = q_ref.shape[1], k_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0)
     for g in range(group):
         q, k, v = q_ref[g], k_ref[g], v_ref[g]
         dout = g_ref[g]
@@ -118,83 +118,94 @@ def _bwd_kernel(
 
 
 def _prep(q, k, v, g=None):
-    """(B, H, N, D) -> (B*H, Np, D) with N padded to 128 if needed."""
-    B, H, N, D = q.shape
-    Np = _round_up(N, 128)
+    """(B, H, N, D) -> (B*H, Np, D) with N padded to 128 if needed. q (and
+    its cotangent) may have a different sequence length than k/v — the
+    sequence-parallel path runs LOCAL queries against all-gathered keys."""
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    Npq = _round_up(Nq, 128)
+    Npk = _round_up(Nk, 128)
 
-    def r(t):
+    def r(t, N, Np):
         if t is None:
             return None
         if Np != N:
             t = jnp.pad(t, [(0, 0), (0, 0), (0, Np - N), (0, 0)])
         return t.reshape(B * H, Np, D)
 
-    return r(q), r(k), r(v), r(g), (B, H, N, D, Np)
+    return (
+        r(q, Nq, Npq), r(k, Nk, Npk), r(v, Nk, Npk), r(g, Nq, Npq),
+        (B, H, Nq, Nk, D, Npq, Npk),
+    )
 
 
 def _fwd(q, k, v, valid_len):
-    qf, kf, vf, _, (B, H, N, D, Np) = _prep(q, k, v)
+    qf, kf, vf, _, (B, H, Nq, Nk, D, Npq, Npk) = _prep(q, k, v)
     scale = D ** -0.5
     G = _pick_group(B * H)
-    blk = pl.BlockSpec((G, Np, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    blk_q = pl.BlockSpec((G, Npq, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    blk_k = pl.BlockSpec((G, Npk, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, valid_len=valid_len, group=G
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Npq, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Npq, 1), jnp.float32),
         ),
         grid=(B * H // G,),
-        in_specs=[blk, blk, blk],
+        in_specs=[blk_q, blk_k, blk_k],
         out_specs=(
-            blk,
-            pl.BlockSpec((G, Np, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            blk_q,
+            pl.BlockSpec((G, Npq, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=_interpret(),
     )(qf, kf, vf)
-    out = o.reshape(B, H, Np, D)
-    if Np != N:
-        out = out[:, :, :N, :]
+    out = o.reshape(B, H, Npq, D)
+    if Npq != Nq:
+        out = out[:, :, :Nq, :]
     return out, lse
 
 
 def _bwd_impl(q, k, v, lse, g, valid_len):
-    qf, kf, vf, gf, (B, H, N, D, Np) = _prep(q, k, v, g)
+    qf, kf, vf, gf, (B, H, Nq, Nk, D, Npq, Npk) = _prep(q, k, v, g)
     scale = D ** -0.5
     G = _pick_group(B * H)
-    blk = pl.BlockSpec((G, Np, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    lse_blk = pl.BlockSpec((G, Np, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    blk_q = pl.BlockSpec((G, Npq, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    blk_k = pl.BlockSpec((G, Npk, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((G, Npq, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_kernel, scale=scale, valid_len=valid_len, group=G
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Npq, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Npk, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Npk, D), q.dtype),
         ),
         grid=(B * H // G,),
-        in_specs=[blk, blk, blk, lse_blk, blk],
-        out_specs=(blk, blk, blk),
+        in_specs=[blk_q, blk_k, blk_k, lse_blk, blk_q],
+        out_specs=(blk_q, blk_k, blk_k),
         interpret=_interpret(),
     )(qf, kf, vf, lse, gf)
 
-    def unp(t):
+    def unp(t, N, Np):
         t = t.reshape(B, H, Np, D)
         return t[:, :, :N, :] if Np != N else t
 
-    return unp(dq), unp(dk), unp(dv)
+    return unp(dq, Nq, Npq), unp(dk, Nk, Npk), unp(dv, Nk, Npk)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, valid_len: int | None = None
 ) -> jax.Array:
-    """Fused attention. q, k, v: (B, H, N, Dh) -> (B, H, N, Dh).
+    """Fused attention. q: (B, H, Nq, Dh); k, v: (B, H, Nk, Dh) ->
+    (B, H, Nq, Dh). Nq may differ from Nk (the sequence-parallel path runs
+    local queries against all-gathered keys/values).
 
-    ``valid_len``: number of real (unpadded) tokens; keys/values at positions
-    >= valid_len are masked out. Defaults to N.
+    ``valid_len``: number of real (unpadded) KEY positions; keys/values at
+    positions >= valid_len are masked out. Defaults to Nk.
 
     Raises NotImplementedError beyond the single-block limit; the
     ops.attention dispatcher falls back to the XLA path.
@@ -204,19 +215,19 @@ def flash_attention(
 
 
 def _vjp_fwd(q, k, v, valid_len):
-    if q.shape[2] > MAX_SINGLE_BLOCK_SEQ:
+    if max(q.shape[2], k.shape[2]) > MAX_SINGLE_BLOCK_SEQ:
         raise NotImplementedError(
             f"flash_attention single-block kernel supports N <= "
-            f"{MAX_SINGLE_BLOCK_SEQ}, got {q.shape[2]}"
+            f"{MAX_SINGLE_BLOCK_SEQ}, got {(q.shape[2], k.shape[2])}"
         )
-    vl = q.shape[2] if valid_len is None else int(valid_len)
+    vl = k.shape[2] if valid_len is None else int(valid_len)
     out, lse = _fwd(q, k, v, vl)
     return out, (q, k, v, lse)
 
 
 def _vjp_bwd(valid_len, res, g):
     q, k, v, lse = res
-    vl = q.shape[2] if valid_len is None else int(valid_len)
+    vl = k.shape[2] if valid_len is None else int(valid_len)
     return _bwd_impl(q, k, v, lse, g, vl)
 
 

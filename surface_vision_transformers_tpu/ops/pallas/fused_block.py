@@ -149,8 +149,8 @@ def fused_block(
     fast_softmax: bool = True,
 ) -> jax.Array:
     """One transformer block. x: (B, N, dim), N % 8 == 0. Weights in flax
-    layout (kernels (in, out)). No autodiff — inference path only
-    (``fused_block_train`` adds the VJP and pins ``fast_softmax=False``)."""
+    layout (kernels (in, out)). No autodiff — use ``fused_block_train`` for
+    the VJP-carrying variant."""
     B, N, dim = x.shape
     if N % 8 != 0:
         raise NotImplementedError("fused_block requires N % 8 == 0")
@@ -182,6 +182,11 @@ def fused_block(
         in_specs=[blk_x] + [wspec(a) for a in args],
         out_specs=blk_x,
         interpret=jax.default_backend() != "tpu",
+        # the default 16M scoped-vmem budget throttles Mosaic's scheduling;
+        # raising it measurably speeds the backward and gives headroom here
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
     )(x, *args)
 
 
@@ -241,7 +246,7 @@ def _block_bwd_kernel(
     dx_ref,
     dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
     dln2_s_ref, dln2_b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref,
-    *, heads, dim_head, valid_len, ln_eps,
+    *, heads, dim_head, valid_len, ln_eps, group, fast_softmax,
 ):
     first = pl.program_id(0) == 0
     np_ = x_ref.shape[1]
@@ -250,125 +255,122 @@ def _block_bwd_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
 
-    x = x_ref[0]  # (Np, dim) bf16
-    g = g_ref[0].astype(jnp.float32)
     ln1_s = ln1_s_ref[0].astype(jnp.float32)
     ln1_b = ln1_b_ref[0].astype(jnp.float32)
     ln2_s = ln2_s_ref[0].astype(jnp.float32)
     ln2_b = ln2_b_ref[0].astype(jnp.float32)
 
-    # ---- forward recompute: attention branch to x1 ----
-    h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
-    h1 = h1f.astype(x.dtype)
-    qkv = _mm(h1, wqkv_ref[:]).astype(x.dtype)  # (Np, 3*hd)
+    acc = None
+    for g_i in range(group):
+        x = x_ref[g_i]  # (Np, dim) bf16
+        g = g_ref[g_i].astype(jnp.float32)
 
-    att_parts = []
-    for hh in range(heads):
-        q = qkv[:, hh * dim_head:(hh + 1) * dim_head]
-        k = qkv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
-        v = qkv[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
-        s = _mm(q, k, ((1,), (1,))) * scale
-        s = jnp.where(col < valid_len, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        att_parts.append(_mm(p.astype(v.dtype), v).astype(x.dtype))
-    a = jnp.concatenate(att_parts, axis=-1)  # (Np, hd) bf16
-    o1 = _mm(a, wout_ref[:]) + bout_ref[0].astype(jnp.float32)
-    x1 = (x.astype(jnp.float32) + o1).astype(x.dtype)
+        # ---- forward recompute: attention branch to x1 ----
+        # the normalized probabilities are cached per head and reused by the
+        # gradient loop below — the scores GEMM and softmax run ONCE, not
+        # twice (measured -0.6 ms/block on SiT-tiny B=256)
+        h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
+        h1 = h1f.astype(x.dtype)
+        qkv = _mm(h1, wqkv_ref[:]).astype(x.dtype)  # (Np, 3*hd)
 
-    # ---- MLP branch: forward recompute + backward ----
-    h2f, n2, rstd2 = _ln_fwd_cache(x1, ln2_s, ln2_b, ln_eps)
-    h2 = h2f.astype(x.dtype)
-    f1 = _mm(h2, wfc1_ref[:]) + bfc1_ref[0].astype(jnp.float32)
-    gl, dgl_df1 = _gelu_tanh_and_grad(f1)
-    glb = gl.astype(x.dtype)
-    gb = g.astype(x.dtype)
+        att_parts, pn_parts = [], []
+        for hh in range(heads):
+            q = qkv[:, hh * dim_head:(hh + 1) * dim_head]
+            k = qkv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            v = qkv[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
+            s = _mm(q, k, ((1,), (1,))) * scale
+            s = jnp.where(col < valid_len, s, _NEG_INF)
+            p, l = _softmax_rows(s, fast_softmax)
+            pn = p / l
+            pn_parts.append(pn)
+            att_parts.append(_mm(pn.astype(v.dtype), v).astype(x.dtype))
+        a = jnp.concatenate(att_parts, axis=-1)  # (Np, hd) bf16
+        o1 = _mm(a, wout_ref[:]) + bout_ref[0].astype(jnp.float32)
+        x1 = (x.astype(jnp.float32) + o1).astype(x.dtype)
 
-    dwfc2 = _mm(glb, gb, ((0,), (0,)))  # (mlp, dim)
-    dbfc2 = jnp.sum(g, axis=0, keepdims=True)
-    dgl = _mm(gb, wfc2_ref[:], ((1,), (1,)))  # (Np, mlp) f32
-    df1 = dgl * dgl_df1
-    df1b = df1.astype(x.dtype)
-    dwfc1 = _mm(h2, df1b, ((0,), (0,)))  # (dim, mlp)
-    dbfc1 = jnp.sum(df1, axis=0, keepdims=True)
-    dh2 = _mm(df1b, wfc1_ref[:], ((1,), (1,)))  # (Np, dim) f32
-    dx1_ln, dln2_s, dln2_b = _ln_bwd(dh2, n2, rstd2, ln2_s)
-    dx1 = g + dx1_ln  # (Np, dim) f32
+        # ---- MLP branch: forward recompute + backward ----
+        h2f, n2, rstd2 = _ln_fwd_cache(x1, ln2_s, ln2_b, ln_eps)
+        h2 = h2f.astype(x.dtype)
+        f1 = _mm(h2, wfc1_ref[:]) + bfc1_ref[0].astype(jnp.float32)
+        gl, dgl_df1 = _gelu_tanh_and_grad(f1)
+        glb = gl.astype(x.dtype)
+        gb = g.astype(x.dtype)
 
-    # ---- attention branch backward ----
-    dx1b = dx1.astype(x.dtype)
-    dbout = jnp.sum(dx1, axis=0, keepdims=True)
-    dwout = _mm(a, dx1b, ((0,), (0,)))  # (hd, dim)
-    da = _mm(dx1b, wout_ref[:], ((1,), (1,))).astype(x.dtype)  # (Np, hd)
+        dwfc2 = _mm(glb, gb, ((0,), (0,)))  # (mlp, dim)
+        dbfc2 = jnp.sum(g, axis=0, keepdims=True)
+        dgl = _mm(gb, wfc2_ref[:], ((1,), (1,)))  # (Np, mlp) f32
+        df1 = dgl * dgl_df1
+        df1b = df1.astype(x.dtype)
+        dwfc1 = _mm(h2, df1b, ((0,), (0,)))  # (dim, mlp)
+        dbfc1 = jnp.sum(df1, axis=0, keepdims=True)
+        dh2 = _mm(df1b, wfc1_ref[:], ((1,), (1,)))  # (Np, dim) f32
+        dx1_ln, dln2_s, dln2_b = _ln_bwd(dh2, n2, rstd2, ln2_s)
+        dx1 = g + dx1_ln  # (Np, dim) f32
 
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for hh in range(heads):
-        q = qkv[:, hh * dim_head:(hh + 1) * dim_head]
-        k = qkv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
-        v = qkv[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
-        da_h = da[:, hh * dim_head:(hh + 1) * dim_head]
-        s = _mm(q, k, ((1,), (1,))) * scale
-        s = jnp.where(col < valid_len, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        p = jnp.where(row < valid_len, p, 0.0)
-        pb = p.astype(x.dtype)
-        dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
-        dp = _mm(da_h, v, ((1,), (1,)))  # (Np, Np) f32
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * scale).astype(x.dtype)
-        dq_parts.append(_mm(ds, k).astype(x.dtype))
-        dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))
-    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+        # ---- attention branch backward ----
+        dx1b = dx1.astype(x.dtype)
+        dbout = jnp.sum(dx1, axis=0, keepdims=True)
+        dwout = _mm(a, dx1b, ((0,), (0,)))  # (hd, dim)
+        da = _mm(dx1b, wout_ref[:], ((1,), (1,))).astype(x.dtype)  # (Np, hd)
 
-    dwqkv = _mm(h1, dqkv, ((0,), (0,)))  # (dim, 3hd)
-    dh1 = _mm(dqkv, wqkv_ref[:], ((1,), (1,)))  # (Np, dim) f32
-    dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
-    dx_ref[0] = (dx1 + dx_ln).astype(dx_ref.dtype)
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for hh in range(heads):
+            q = qkv[:, hh * dim_head:(hh + 1) * dim_head]
+            k = qkv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            v = qkv[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
+            da_h = da[:, hh * dim_head:(hh + 1) * dim_head]
+            # cached from the recompute loop; zero padding ROWS so their
+            # cotangents don't leak into the weight grads
+            p = jnp.where(row < valid_len, pn_parts[hh], 0.0)
+            pb = p.astype(x.dtype)
+            dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
+            dp = _mm(da_h, v, ((1,), (1,)))  # (Np, Np) f32
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = (p * (dp - delta) * scale).astype(x.dtype)
+            dq_parts.append(_mm(ds, k).astype(x.dtype))
+            dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))
+        dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+
+        dwqkv = _mm(h1, dqkv, ((0,), (0,)))  # (dim, 3hd)
+        dh1 = _mm(dqkv, wqkv_ref[:], ((1,), (1,)))  # (Np, dim) f32
+        dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
+        dx_ref[g_i] = (dx1 + dx_ln).astype(dx_ref.dtype)
+
+        grads = (dln1_s, dln1_b, dwqkv, dwout, dbout,
+                 dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
+        acc = grads if acc is None else tuple(
+            a_ + b_ for a_, b_ in zip(acc, grads)
+        )
 
     # ---- weight-grad accumulation across the batch-tile grid ----
+    out_refs = (dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
+                dln2_s_ref, dln2_b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref,
+                dbfc2_ref)
+
     @pl.when(first)
     def _():
-        dln1_s_ref[:] = dln1_s
-        dln1_b_ref[:] = dln1_b
-        dwqkv_ref[:] = dwqkv
-        dwout_ref[:] = dwout
-        dbout_ref[:] = dbout
-        dln2_s_ref[:] = dln2_s
-        dln2_b_ref[:] = dln2_b
-        dwfc1_ref[:] = dwfc1
-        dbfc1_ref[:] = dbfc1
-        dwfc2_ref[:] = dwfc2
-        dbfc2_ref[:] = dbfc2
+        for ref, val in zip(out_refs, acc):
+            ref[:] = val
 
     @pl.when(jnp.logical_not(first))
     def _():
-        dln1_s_ref[:] += dln1_s
-        dln1_b_ref[:] += dln1_b
-        dwqkv_ref[:] += dwqkv
-        dwout_ref[:] += dwout
-        dbout_ref[:] += dbout
-        dln2_s_ref[:] += dln2_s
-        dln2_b_ref[:] += dln2_b
-        dwfc1_ref[:] += dwfc1
-        dbfc1_ref[:] += dbfc1
-        dwfc2_ref[:] += dwfc2
-        dbfc2_ref[:] += dbfc2
+        for ref, val in zip(out_refs, acc):
+            ref[:] += val
 
 
 def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
                ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
-               *, heads, dim_head, valid_len, ln_eps):
+               *, heads, dim_head, valid_len, ln_eps, group: int = 1,
+               fast_softmax: bool = True):
     B, N, dim = x.shape
     mlp = w_fc1.shape[1]
     hd = heads * dim_head
+    G = group if B % group == 0 else 1
 
     def vec(v):
         return v.reshape(1, -1)
 
-    blk_x = pl.BlockSpec((1, N, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    blk_x = pl.BlockSpec((G, N, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
     def wspec(shape):
         return pl.BlockSpec(shape, lambda b: tuple([0] * len(shape)),
@@ -398,13 +400,20 @@ def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     return pl.pallas_call(
         functools.partial(
             _block_bwd_kernel, heads=heads, dim_head=dim_head,
-            valid_len=valid_len, ln_eps=ln_eps,
+            valid_len=valid_len, ln_eps=ln_eps, group=G,
+            fast_softmax=fast_softmax,
         ),
         out_shape=out_shapes,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=jax.default_backend() != "tpu",
+        # G>1 temporaries exceed the default 16M scoped-vmem budget; the
+        # weight-grad accumulators + per-sample (N,N) fp32 score tensors are
+        # still far under physical VMEM (128M on v5e)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
     )(*in_arrays)
 
 
@@ -420,13 +429,12 @@ def fused_block_train(
     """Differentiable fused block: megakernel forward + single-kernel
     backward producing dx and all weight grads. NOTE: GELU is the tanh form
     in BOTH directions (consistent gradient of the computed function), and
-    the softmax keeps the row-max shift so the backward's recomputation
-    matches the forward bitwise."""
+    the softmax is the unshifted clamped form in BOTH the forward and the
+    backward's recomputation, so they stay bitwise-consistent."""
     return fused_block(
         x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
         ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
         heads=heads, dim_head=dim_head, valid_len=valid_len, ln_eps=ln_eps,
-        fast_softmax=False,
     )
 
 
@@ -437,7 +445,6 @@ def _fbt_fwd(x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
         x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
         ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
         heads=heads, dim_head=dim_head, valid_len=valid_len, ln_eps=ln_eps,
-        fast_softmax=False,
     )
     res = (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2)
@@ -606,4 +613,257 @@ def fused_block_cls(
         in_specs=[blk_x] + [wspec(a) for a in args],
         out_specs=blk_o,
         interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
     )(x, *args)
+
+
+# -- CLS-pooling final block, TRAINING variant ---------------------------------
+#
+# Training counterpart of fused_block_cls: under CLS pooling the last block's
+# output cotangent is nonzero only in the first 8-row tile, so the backward
+# recomputes Q/out-proj/MLP on that tile alone; K/V (and their grads, plus
+# LN1) still span every row. fwd ~0.15 ms + bwd ~0.5 ms vs ~0.98 + ~3.0 for
+# the full block (SiT-tiny B=256, v5e).
+
+
+def _block_cls_bwd_kernel(
+    x_ref, g_ref,
+    ln1_s_ref, ln1_b_ref, wq_ref, wkv_ref, wout_ref, bout_ref,
+    ln2_s_ref, ln2_b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+    dx_ref,
+    dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
+    dln2_s_ref, dln2_b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref,
+    *, heads, dim_head, valid_len, ln_eps, group, fast_softmax,
+):
+    first = pl.program_id(0) == 0
+    np_ = x_ref.shape[1]
+    rows = g_ref.shape[1]
+    hd = heads * dim_head
+    scale = dim_head ** -0.5
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (rows, np_), 1)
+
+    ln1_s = ln1_s_ref[0].astype(jnp.float32)
+    ln1_b = ln1_b_ref[0].astype(jnp.float32)
+    ln2_s = ln2_s_ref[0].astype(jnp.float32)
+    ln2_b = ln2_b_ref[0].astype(jnp.float32)
+
+    acc = None
+    for g_i in range(group):
+        x = x_ref[g_i]  # (Np, dim) bf16
+        g = g_ref[g_i].astype(jnp.float32)  # (rows, dim)
+
+        # ---- forward recompute ----
+        h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
+        h1 = h1f.astype(x.dtype)
+        kv = _mm(h1, wkv_ref[:]).astype(x.dtype)  # (Np, 2*hd)
+        q_top = _mm(h1[:rows], wq_ref[:]).astype(x.dtype)  # (rows, hd)
+
+        att_parts, pn_parts = [], []
+        for hh in range(heads):
+            q = q_top[:, hh * dim_head:(hh + 1) * dim_head]
+            k = kv[:, hh * dim_head:(hh + 1) * dim_head]
+            s = _mm(q, k, ((1,), (1,))) * scale  # (rows, Np)
+            s = jnp.where(col8 < valid_len, s, _NEG_INF)
+            p, l = _softmax_rows(s, fast_softmax)
+            pn = p / l
+            pn_parts.append(pn)
+            v = kv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            att_parts.append(_mm(pn.astype(v.dtype), v).astype(x.dtype))
+        a = jnp.concatenate(att_parts, axis=-1)  # (rows, hd)
+        o1 = _mm(a, wout_ref[:]) + bout_ref[0].astype(jnp.float32)
+        x1 = (x[:rows].astype(jnp.float32) + o1).astype(x.dtype)
+
+        # ---- MLP branch (rows only) ----
+        h2f, n2, rstd2 = _ln_fwd_cache(x1, ln2_s, ln2_b, ln_eps)
+        h2 = h2f.astype(x.dtype)
+        f1 = _mm(h2, wfc1_ref[:]) + bfc1_ref[0].astype(jnp.float32)
+        gl, dgl_df1 = _gelu_tanh_and_grad(f1)
+        glb = gl.astype(x.dtype)
+        gb = g.astype(x.dtype)
+
+        dwfc2 = _mm(glb, gb, ((0,), (0,)))
+        dbfc2 = jnp.sum(g, axis=0, keepdims=True)
+        dgl = _mm(gb, wfc2_ref[:], ((1,), (1,)))
+        df1 = dgl * dgl_df1
+        df1b = df1.astype(x.dtype)
+        dwfc1 = _mm(h2, df1b, ((0,), (0,)))
+        dbfc1 = jnp.sum(df1, axis=0, keepdims=True)
+        dh2 = _mm(df1b, wfc1_ref[:], ((1,), (1,)))
+        dx1_ln, dln2_s, dln2_b = _ln_bwd(dh2, n2, rstd2, ln2_s)
+        dx1 = g + dx1_ln  # (rows, dim) f32
+
+        # ---- attention branch backward ----
+        dx1b = dx1.astype(x.dtype)
+        dbout = jnp.sum(dx1, axis=0, keepdims=True)
+        dwout = _mm(a, dx1b, ((0,), (0,)))
+        da = _mm(dx1b, wout_ref[:], ((1,), (1,))).astype(x.dtype)  # (rows, hd)
+
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for hh in range(heads):
+            q = q_top[:, hh * dim_head:(hh + 1) * dim_head]
+            k = kv[:, hh * dim_head:(hh + 1) * dim_head]
+            v = kv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            da_h = da[:, hh * dim_head:(hh + 1) * dim_head]
+            pn = pn_parts[hh]  # (rows, Np); CLS rows are always valid
+            pb = pn.astype(x.dtype)
+            dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
+            dp = _mm(da_h, v, ((1,), (1,)))  # (rows, Np)
+            delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
+            ds = (pn * (dp - delta) * scale).astype(x.dtype)
+            dq_parts.append(_mm(ds, k).astype(x.dtype))  # (rows, dh)
+            dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))  # (Np, dh)
+        dq_top = jnp.concatenate(dq_parts, axis=-1)  # (rows, hd)
+        dkv = jnp.concatenate(dk_parts + dv_parts, axis=-1)  # (Np, 2hd)
+
+        dw_q = _mm(h1[:rows], dq_top, ((0,), (0,)))  # (dim, hd)
+        dw_kv = _mm(h1, dkv, ((0,), (0,)))  # (dim, 2hd)
+        dwqkv = jnp.concatenate([dw_q, dw_kv], axis=-1)  # (dim, 3hd)
+
+        dh1 = _mm(dkv, wkv_ref[:], ((1,), (1,)))  # (Np, dim)
+        dh1_top = _mm(dq_top, wq_ref[:], ((1,), (1,)))  # (rows, dim)
+        dh1 = jnp.concatenate([dh1[:rows] + dh1_top, dh1[rows:]], axis=0)
+        dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
+        # residual: x[:rows] feeds x1 directly
+        dx = jnp.concatenate(
+            [dx_ln[:rows] + dx1, dx_ln[rows:]], axis=0
+        )
+        dx_ref[g_i] = dx.astype(dx_ref.dtype)
+
+        grads = (dln1_s, dln1_b, dwqkv, dwout, dbout,
+                 dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
+        acc = grads if acc is None else tuple(
+            a_ + b_ for a_, b_ in zip(acc, grads)
+        )
+
+    out_refs = (dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
+                dln2_s_ref, dln2_b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref,
+                dbfc2_ref)
+
+    @pl.when(first)
+    def _():
+        for ref, val in zip(out_refs, acc):
+            ref[:] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        for ref, val in zip(out_refs, acc):
+            ref[:] += val
+
+
+def _block_cls_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+                   ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+                   *, heads, dim_head, valid_len, ln_eps, group: int = 1,
+                   fast_softmax: bool = True):
+    B, N, dim = x.shape
+    rows = g.shape[1]
+    mlp = w_fc1.shape[1]
+    hd = heads * dim_head
+    G = group if B % group == 0 else 1
+
+    def vec(v):
+        return v.reshape(1, -1)
+
+    blk_x = pl.BlockSpec((G, N, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    blk_g = pl.BlockSpec((G, rows, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda b: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    in_arrays = [
+        x, g,
+        vec(ln1_scale), vec(ln1_bias), w_qkv[:, :hd], w_qkv[:, hd:],
+        w_out, vec(b_out),
+        vec(ln2_scale), vec(ln2_bias), w_fc1, vec(b_fc1), w_fc2,
+    ]
+    in_specs = [blk_x, blk_g] + [wspec(a.shape) for a in in_arrays[2:]]
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, N, dim), x.dtype),        # dx
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dln1_s
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dln1_b
+        jax.ShapeDtypeStruct((dim, 3 * hd), jnp.float32),  # dwqkv
+        jax.ShapeDtypeStruct((hd, dim), jnp.float32),      # dwout
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dbout
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dln2_s
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dln2_b
+        jax.ShapeDtypeStruct((dim, mlp), jnp.float32),     # dwfc1
+        jax.ShapeDtypeStruct((1, mlp), jnp.float32),       # dbfc1
+        jax.ShapeDtypeStruct((mlp, dim), jnp.float32),     # dwfc2
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dbfc2
+    )
+    out_specs = (blk_x,) + tuple(wspec(o.shape) for o in out_shapes[1:])
+    return pl.pallas_call(
+        functools.partial(
+            _block_cls_bwd_kernel, heads=heads, dim_head=dim_head,
+            valid_len=valid_len, ln_eps=ln_eps, group=G,
+            fast_softmax=fast_softmax,
+        ),
+        out_shape=out_shapes,
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(*in_arrays)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15)
+)
+def fused_block_cls_train(
+    x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+    ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+    heads: int, dim_head: int, valid_len: int | None = None,
+    ln_eps: float = 1e-5,
+):
+    """Differentiable CLS-pooling final block: (B, N, dim) -> (B, 8, dim)
+    (row 0 is the CLS token). Same numerics contract as fused_block_train."""
+    return fused_block_cls(
+        x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+        ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+        heads=heads, dim_head=dim_head, valid_len=valid_len, ln_eps=ln_eps,
+    )
+
+
+def _fbct_fwd(x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+              ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+              heads, dim_head, valid_len, ln_eps):
+    out = fused_block_cls(
+        x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+        ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+        heads=heads, dim_head=dim_head, valid_len=valid_len, ln_eps=ln_eps,
+    )
+    res = (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+           ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2)
+    return out, res
+
+
+def _fbct_bwd(heads, dim_head, valid_len, ln_eps, res, g):
+    (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+     ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2) = res
+    vl = x.shape[1] if valid_len is None else int(valid_len)
+    (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
+     dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = _block_cls_bwd(
+        x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+        ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+        heads=heads, dim_head=dim_head, valid_len=vl, ln_eps=ln_eps,
+    )
+
+    def like(d, ref):
+        return d.reshape(ref.shape).astype(ref.dtype)
+
+    return (
+        dx,
+        like(dln1_s, ln1_scale), like(dln1_b, ln1_bias),
+        like(dwqkv, w_qkv), like(dwout, w_out), like(dbout, b_out),
+        like(dln2_s, ln2_scale), like(dln2_b, ln2_bias),
+        like(dwfc1, w_fc1), like(dbfc1, b_fc1), like(dwfc2, w_fc2),
+        like(dbfc2, b_fc2),
+    )
+
+
+fused_block_cls_train.defvjp(_fbct_fwd, _fbct_bwd)

@@ -54,23 +54,20 @@ class EpochMetrics:
         return {"loss": self.loss, "mae": self.mae}
 
 
-def _pad_permutation(key, n: int, bs: int):
-    """Shuffled indices padded to full batches: returns (steps, bs) int32
-    indices and (steps, bs) float32 weights (0 on padding)."""
+def _batch_weights(n: int, bs: int) -> jnp.ndarray:
+    """(steps, bs) float32 sample weights for clamped contiguous batching:
+    batch i reads rows [min(i*bs, n-bs), ...+bs) of a (possibly permuted)
+    dataset — ``lax.dynamic_slice`` clamps the final start the same way — so
+    the last batch's first ``steps*bs - n`` rows repeat already-processed
+    rows and get weight 0. Contiguous slices replace the per-step random-row
+    gather, which XLA executes ~30x off bandwidth (measured 6.3 ms per
+    (256, 4, 40962) take on v5e vs 0.12 ms for the slice)."""
     steps = math.ceil(n / bs)
-    perm = jax.random.permutation(key, n)
-    pad = steps * bs - n
-    idx = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
-    w = jnp.concatenate([jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
-    return idx.reshape(steps, bs), w.reshape(steps, bs)
-
-
-def _eval_batches(n: int, bs: int):
-    steps = math.ceil(n / bs)
-    idx = np.arange(steps * bs)
-    w = (idx < n).astype(np.float32)
-    idx = np.minimum(idx, n - 1)
-    return jnp.asarray(idx.reshape(steps, bs)), jnp.asarray(w.reshape(steps, bs))
+    w = np.ones((steps, bs), np.float32)
+    overlap = steps * bs - n
+    if overlap:
+        w[-1, :overlap] = 0.0
+    return jnp.asarray(w)
 
 
 class Trainer:
@@ -115,7 +112,15 @@ class Trainer:
         self._epoch_fns: dict[tuple, Callable] = {}
         self._eval_fns: dict[tuple, Callable] = {}
 
-        if self.task == "mpp" and not exp.mpp.optimize_decoder:
+        mask_decoder = self.task == "mpp" and not exp.mpp.optimize_decoder
+        if mesh is None and not mask_decoder:
+            # one fused update over a single flat vector instead of ~150
+            # per-leaf fusions — measured -8.8 ms/step for Adam on SiT-tiny
+            # (v5e). Under a mesh the per-leaf TP/FSDP shardings must
+            # survive, so the tree stays unflattened there.
+            self.optimizer = optax.flatten(self.optimizer)
+
+        if mask_decoder:
             # reproduce the reference quirk: decoder params get zero updates
             # (reference tools/pretrain.py:269-280 optimizes the encoder only)
             def mask_fn(params):
@@ -187,7 +192,6 @@ class Trainer:
             and self.model.precision is None
             and self.model.dropout == 0.0
             and self.model.emb_dropout == 0.0
-            and self.model.padded_len % 128 == 0
             and self.model.seq_shard_axis is None
         )
 
@@ -236,13 +240,27 @@ class Trainer:
             self.exp.model.dropout == 0.0 and self.exp.model.emb_dropout == 0.0
         )
 
-        def epoch_fn(state: TrainState, data, targets, idx, w):
+        def epoch_fn(state: TrainState, data, targets, w):
+            # shuffle ONCE per epoch (a single whole-dataset permute), then
+            # every step slices a contiguous batch — per-step random-row
+            # gathers cost ~6 ms each on v5e (see _batch_weights)
+            perm_rng = jax.random.fold_in(state.rng, 17)
+            perm = jax.random.permutation(perm_rng, data.shape[0])
+            data_p = self._constrain_batch(jnp.take(data, perm, axis=0))
+            targets_p = (
+                jnp.take(targets, perm, axis=0) if targets is not None else None
+            )
+
             def one_step(state, sl):
-                b_idx, b_w = sl
-                batch = self._constrain_batch(jnp.take(data, b_idx, axis=0))
+                i, b_w = sl
+                batch = self._constrain_batch(
+                    jax.lax.dynamic_slice_in_dim(data_p, i * bs, bs, axis=0)
+                )
                 tgt = (
-                    self._constrain_batch(jnp.take(targets, b_idx, axis=0))
-                    if targets is not None
+                    self._constrain_batch(
+                        jax.lax.dynamic_slice_in_dim(targets_p, i * bs, bs, axis=0)
+                    )
+                    if targets_p is not None
                     else None
                 )
                 rng, step_rng = jax.random.split(state.rng)
@@ -269,7 +287,7 @@ class Trainer:
                 return new_state, (loss, mae * b_w.sum())
 
             state, (losses, mae_sums) = jax.lax.scan(
-                one_step, state, (idx, w)
+                one_step, state, (jnp.arange(steps), w)
             )
             return state, losses.mean(), mae_sums.sum()
 
@@ -282,9 +300,8 @@ class Trainer:
         key = (steps, bs, "train")
         if key not in self._epoch_fns:
             self._epoch_fns[key] = self._build_epoch_fn(steps, bs)
-        perm_rng = jax.random.fold_in(state.rng, 17)
-        idx, w = _pad_permutation(perm_rng, n, bs)
-        state, loss, mae_sum = self._epoch_fns[key](state, data, targets, idx, w)
+        w = _batch_weights(n, bs)
+        state, loss, mae_sum = self._epoch_fns[key](state, data, targets, w)
         return state, EpochMetrics(loss=float(loss), mae=float(mae_sum) / n)
 
     # -- streaming epoch (host-resident datasets, e.g. bigger than HBM) ------
@@ -356,18 +373,20 @@ class Trainer:
         return self.model.apply({"params": params}, batch)
 
     def _build_eval_fn(self, steps: int, bs: int):
-        def eval_fn(params, data, targets, idx, w):
+        def eval_fn(params, data, targets, w):
             def one_step(carry, sl):
-                b_idx, b_w = sl
-                batch = self._constrain_batch(jnp.take(data, b_idx, axis=0))
+                i, b_w = sl
+                batch = self._constrain_batch(
+                    jax.lax.dynamic_slice_in_dim(data, i * bs, bs, axis=0)
+                )
                 if self.task == "mpp":
-                    # deterministic eval corruption: fixed fold-in of batch idx
-                    rng = jax.random.fold_in(jax.random.PRNGKey(1234), b_idx[0])
+                    # deterministic eval corruption: fixed fold-in of batch id
+                    rng = jax.random.fold_in(jax.random.PRNGKey(1234), i)
                     loss, _ = self.mpp.apply(
                         {"params": params}, batch, rng, sample_weights=b_w
                     )
                     return carry, (loss * b_w.sum(), jnp.zeros(()), jnp.zeros((bs,)))
-                tgt = jnp.take(targets, b_idx, axis=0)
+                tgt = jax.lax.dynamic_slice_in_dim(targets, i * bs, bs, axis=0)
                 preds = self._infer(params, batch)
                 preds = preds.reshape(preds.shape[0], -1).squeeze(-1)
                 err = jnp.abs(preds - tgt.reshape(preds.shape))
@@ -375,9 +394,9 @@ class Trainer:
                 return carry, ((sq * b_w).sum(), (err * b_w).sum(), preds)
 
             _, (loss_sums, err_sums, preds) = jax.lax.scan(
-                one_step, None, (idx, w)
+                one_step, None, (jnp.arange(steps), w)
             )
-            return loss_sums.sum(), err_sums.sum(), preds.reshape(-1)
+            return loss_sums.sum(), err_sums.sum(), preds
 
         return jax.jit(eval_fn)
 
@@ -391,13 +410,18 @@ class Trainer:
         key = (steps, bs, "eval")
         if key not in self._eval_fns:
             self._eval_fns[key] = self._build_eval_fn(steps, bs)
-        idx, w = _eval_batches(n, bs)
+        w = _batch_weights(n, bs)
         loss_sum, err_sum, preds = self._eval_fns[key](
-            state.params, data, targets, idx, w
+            state.params, data, targets, w
         )
         if self.task == "mpp":
             return EpochMetrics(loss=float(loss_sum) / n, mae=float(loss_sum) / n), None
+        # batch i holds rows [min(i*bs, n-bs), +bs): drop the last batch's
+        # re-read prefix to restore row order
+        preds = np.asarray(preds)
+        overlap = steps * bs - n
+        flat = np.concatenate([preds[:-1].reshape(-1), preds[-1][overlap:]])
         return (
             EpochMetrics(loss=float(loss_sum) / n, mae=float(err_sum) / n),
-            np.asarray(preds)[:n],
+            flat,
         )

@@ -41,6 +41,47 @@ def test_fused_forward_prepatched_and_mean_pool():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
 
 
+def test_cls_train_block_grads_match_full_block():
+    """fused_block_cls_train: value and ALL gradients equal the full
+    fused_block_train when the loss reads only the CLS row."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        fused_block_cls_train,
+        fused_block_train,
+    )
+
+    rng = np.random.default_rng(0)
+    B, N, dim, heads, dh, mlp = 4, 128, 32, 2, 16, 64
+    x = jnp.asarray(rng.standard_normal((B, N, dim)), jnp.float32)
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    w = (mk(dim) + 1, mk(dim), mk(dim, 3 * heads * dh), mk(heads * dh, dim),
+         mk(dim), mk(dim) + 1, mk(dim), mk(dim, mlp), mk(mlp), mk(mlp, dim),
+         mk(dim))
+
+    def loss_full(args):
+        out = fused_block_train(x, *args, heads, dh, 99)
+        return jnp.mean(out[:, 0] ** 2)
+
+    def loss_cls(args):
+        out = fused_block_cls_train(x, *args, heads, dh, 99)
+        return jnp.mean(out[:, 0] ** 2)
+
+    l0, g0 = jax.value_and_grad(loss_full)(w)
+    l1, g1 = jax.value_and_grad(loss_cls)(w)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+    # dx parity too
+    dx0 = jax.grad(lambda xx: jnp.mean(
+        fused_block_train(xx, *w, heads, dh, 99)[:, 0] ** 2))(x)
+    dx1 = jax.grad(lambda xx: jnp.mean(
+        fused_block_cls_train(xx, *w, heads, dh, 99)[:, 0] ** 2))(x)
+    np.testing.assert_allclose(np.asarray(dx0), np.asarray(dx1),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_fused_forward_pads_internally():
     """fused_forward no longer needs the model's lane-aligned seq_pad: it
     pads to the next sublane multiple itself (321 -> 328) and matches the

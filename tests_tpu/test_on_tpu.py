@@ -1,0 +1,176 @@
+"""Compiled-Mosaic correctness on the real chip: kernel-vs-XLA parity, golden
+bf16 bounds, and one real train step — the checks interpret mode cannot give.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surface_vision_transformers_tpu.geometry import load_patch_table
+from surface_vision_transformers_tpu.models import SiT
+from surface_vision_transformers_tpu.models.fused import fused_forward
+from surface_vision_transformers_tpu.train import Trainer
+from surface_vision_transformers_tpu.utils.config import from_dict
+
+B = 16  # one batch shape shared by every test -> one compile per program
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from surface_vision_transformers_tpu.utils.env import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    table = load_patch_table(6, 2)
+    key = jax.random.PRNGKey(0)
+    model32 = SiT(dim=192, depth=2, heads=3, mlp_dim=768,
+                  num_patches=320, num_vertices=153,
+                  patch_table=table.indices, dtype=jnp.float32)
+    model16 = SiT(dim=192, depth=2, heads=3, mlp_dim=768,
+                  num_patches=320, num_vertices=153,
+                  patch_table=table.indices)
+    x = jax.random.normal(key, (B, 4, 40962)) * 0.5
+    params = model32.init(key, x)
+    return model32, model16, params, x
+
+
+def test_fused_forward_matches_modular_fp32_compiled(setup):
+    """The megakernel blocks (compiled Mosaic, fast softmax, CLS final
+    block) against the modular XLA forward at fp32 — bound by the tanh-GELU
+    approximation only."""
+    model32, _, params, x = setup
+    ref = jax.jit(lambda p, xx: model32.apply(p, xx))(params, x)
+    out = jax.jit(lambda p, xx: fused_forward(model32, p, xx))(params, x)
+    d = float(jnp.abs(out - ref).max())
+    assert d < 2e-3, d
+
+
+def test_fused_forward_bf16_bounds(setup):
+    """Golden bf16 bound: the bf16 fused path stays within accumulated-bf16
+    resolution of the fp32 modular forward."""
+    model32, model16, params, x = setup
+    ref = jax.jit(lambda p, xx: model32.apply(p, xx))(params, x)
+    out = jax.jit(lambda p, xx: fused_forward(model16, p, xx))(params, x)
+    d = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+    scale = float(jnp.abs(ref).max()) + 1e-3
+    assert d < 0.05 * max(scale, 1.0), (d, scale)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_attention_matches_einsum_compiled():
+    """Packed flash kernel vs explicit einsum attention, compiled, fp32."""
+    from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+        flash_attention_qkv,
+    )
+
+    key = jax.random.PRNGKey(1)
+    heads, dh, N = 3, 64, 384
+    qkv = jax.random.normal(key, (4, N, 3 * heads * dh), jnp.float32) * 0.3
+    vl = 321
+
+    @jax.jit
+    def kernel(qkv):
+        return flash_attention_qkv(qkv, heads, vl)
+
+    @jax.jit
+    def einsum(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def h(t):
+            return t.reshape(4, N, heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = h(q), h(k), h(v)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * dh**-0.5
+        s = jnp.where((jnp.arange(N) < vl)[None, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+        return o.transpose(0, 2, 1, 3).reshape(4, N, heads * dh)
+
+    d = float(jnp.abs(kernel(qkv) - einsum(qkv)).max())
+    assert d < 2e-3, d
+
+
+def test_fused_train_block_grads_compiled():
+    """fused_block_train's single-kernel backward vs jax.grad through the
+    explicit einsum block, compiled Mosaic, fp32."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        fused_block_train,
+    )
+
+    rng = np.random.default_rng(0)
+    N, dim, heads, dh, mlp = 384, 192, 3, 64, 768
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+
+    x = mk(4, N, dim)
+    w = (mk(dim) + 1, mk(dim), mk(dim, 3 * heads * dh), mk(heads * dh, dim),
+         mk(dim), mk(dim) + 1, mk(dim), mk(dim, mlp), mk(mlp), mk(mlp, dim),
+         mk(dim))
+
+    def explicit(args, xx):
+        (l1s, l1b, wqkv, wout, bout, l2s, l2b, wfc1, bfc1, wfc2, bfc2) = args
+
+        def ln(t, s, b):
+            mu = t.mean(-1, keepdims=True)
+            var = ((t - mu) ** 2).mean(-1, keepdims=True)
+            return (t - mu) * jax.lax.rsqrt(var + 1e-5) * s + b
+
+        h = ln(xx, l1s, l1b)
+        qkv = h @ wqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def hsplit(t):
+            return t.reshape(4, N, heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = hsplit(q), hsplit(k), hsplit(v)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * dh**-0.5
+        s = jnp.where((jnp.arange(N) < 321)[None, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, -1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(4, N, heads * dh)
+        x1 = xx + o @ wout + bout
+        h2 = ln(x1, l2s, l2b)
+        f = h2 @ wfc1 + bfc1
+        c = 0.7978845608028654
+        f = 0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f**3)))
+        return x1 + f @ wfc2 + bfc2
+
+    def loss_k(args):
+        return jnp.mean(fused_block_train(x, *args, heads, dh, 321)[:, :321] ** 2)
+
+    def loss_e(args):
+        return jnp.mean(explicit(args, x)[:, :321] ** 2)
+
+    lk, gk = jax.jit(jax.value_and_grad(loss_k))(w)
+    le, ge = jax.jit(jax.value_and_grad(loss_e))(w)
+    assert abs(float(lk) - float(le)) < 1e-4, (float(lk), float(le))
+    for a, b in zip(gk, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
+
+
+def test_train_step_learns_on_tpu(setup):
+    """One real training run (3 epochs, fused train path, bf16): finite and
+    decreasing loss on a learnable synthetic relationship."""
+    _, model16, _, _ = setup
+    exp = from_dict({
+        "resolution": {"ico": 6, "sub_ico": 2},
+        "transformer": {"dim": 192, "depth": 2, "heads": 3, "mlp_dim": 768},
+        "training": {"LR": 1e-3, "bs": B, "epochs": 1},
+        "optimisation": {"optimiser": "Adam"},
+    })
+    trainer = Trainer(exp, model=model16)
+    key = jax.random.PRNGKey(2)
+    xb = jax.random.normal(key, (2 * B, 4, 40962), jnp.float32)
+    yb = jnp.asarray(np.asarray(xb[:, 0, :8].mean(axis=1)))  # learnable
+    state = trainer.init_state(xb[:1])
+    losses = []
+    for _ in range(3):
+        state, m = trainer.train_epoch(state, xb, yb)
+        losses.append(m.loss)
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
