@@ -7,14 +7,18 @@ of the (B, N, dim) activations plus the weights; the unfused path pays ~10
 intermediate tensor round-trips (measured ~2.2 ms/layer vs a ~0.9 ms
 compute+traffic floor for SiT-tiny at B=256 on v5e).
 
-Used for the NO-GRADIENT path only (evaluation / serving — the headline
-benchmark): ``SiT(fused_blocks=True)``. Training keeps the composable
-modules, whose flash-attention kernel already carries a custom VJP; a fused
-block would need its own 8-tensor backward for little training-time gain
-(backward cost is dominated by the GEMM grads either way).
+``fused_block`` / ``fused_block_cls`` are the inference kernels (the
+headline benchmark path); ``fused_block_train`` / ``fused_block_cls_train``
+add custom VJPs whose backward is ONE kernel per block computing dx plus all
+11 weight gradients, recomputing activations from the block input
+flash-attention style (the trainer uses them whenever the recipe allows —
+bf16, no dropout). The modular flax modules with the flash-attention kernel
+remain the fallback (dropout, fp32 parity mode, CPU).
 
-Semantics match models.sit.Attention + FeedForward exactly: fp32 LayerNorm,
-dh^-0.5 scaling, fp32 softmax with valid_len masking, exact (erf) GELU.
+Semantics match models.sit.Attention + FeedForward: fp32 LayerNorm, dh^-0.5
+scaling, fp32 softmax with valid_len masking (unshifted clamped form — see
+``_softmax_rows``), tanh-GELU (< 3e-4 from exact erf, below bf16
+resolution).
 """
 
 from __future__ import annotations
