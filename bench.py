@@ -90,8 +90,10 @@ def main():
         x = jax.random.normal(key, (bs, 4, 40962), jnp.bfloat16)
 
         def step(p, x, i):
+            # bf16-representable additive perturbation (1 + i*1e-6 rounds to
+            # exactly 1.0 in bf16) so iterations stay non-identical
             return fused_forward(
-                model, p, x * (1 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-6))
+                model, p, x + i.astype(jnp.bfloat16) * jnp.bfloat16(2**-7)
             ).mean().astype(jnp.float32)
 
         dt = timed_scan(step, (params, x), iters=31 if bs <= 512 else 11)

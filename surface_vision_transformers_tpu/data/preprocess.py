@@ -45,13 +45,22 @@ SHIPPED_LABEL_DIR = (
 
 
 def resolve_label_dir(label_path: str | os.PathLike, task: str) -> Path:
-    """The label directory for the run: the configured path when it holds
-    ``{task}/`` (or is non-empty), else the shipped assets — so the stock
-    dHCP recipes run with zero extra user files."""
+    """The label directory for the run: the configured path when it holds a
+    ``{task}/`` subfolder, else the shipped dHCP assets — so the stock
+    recipes run with zero extra user files. Falling back past a NON-empty
+    configured path warns loudly: silently training on the shipped labels
+    when the user pointed somewhere else would mask a misconfiguration."""
     if label_path:
         p = Path(label_path)
         if (p / task).exists() or not (SHIPPED_LABEL_DIR / task).exists():
             return p
+        import warnings
+
+        warnings.warn(
+            f"data.label_path={str(p)!r} has no {task}/ subfolder; falling "
+            f"back to the shipped assets at {str(SHIPPED_LABEL_DIR)!r}",
+            stacklevel=2,
+        )
     return SHIPPED_LABEL_DIR
 
 

@@ -218,7 +218,11 @@ class Attention(nn.Module):
 
             out = multi_head_attention(
                 heads(q), heads(k), heads(v), valid_len,
-                backend=self.attn_backend, precision=self.precision,
+                # under sequence sharding never dispatch an unpartitionable
+                # pallas call on sharded activations (GSPMD would replicate
+                # it); XLA's einsum lets it insert collectives instead
+                backend="xla" if self.seq_shard_axis else self.attn_backend,
+                precision=self.precision,
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
         out = nn.Dense(

@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+_CLAMP = 60.0  # fast-softmax overflow clamp; see _softmax_rows
 
 
 def _layer_norm(x, scale, bias, eps=1e-6):
@@ -49,10 +50,12 @@ def _softmax_rows(s, fast: bool):
     sum stays < 3e38) gives the EXACT softmax whenever every score <= 60 —
     which LN-bounded bf16 activations satisfy by orders of magnitude — and a
     graceful saturation beyond. Measured -0.09 ms/block on SiT-tiny B=256
-    (v5e) vs the shifted form; the shifted form stays the default for
-    training kernels (backward recomputation must match bitwise)."""
+    (v5e) vs the shifted form. The training kernels use the same form in the
+    forward and the backward's recomputation (bitwise-consistent), and the
+    backward zeroes ``ds`` wherever the clamp binds (``_CLAMP`` indicator),
+    so the gradient is exact for the computed function even past the clamp."""
     if fast:
-        p = jnp.exp(jnp.minimum(s, 60.0))
+        p = jnp.exp(jnp.minimum(s, _CLAMP))
         l = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
     else:
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -277,7 +280,7 @@ def _block_bwd_kernel(
         h1 = h1f.astype(x.dtype)
         qkv = _mm(h1, wqkv_ref[:]).astype(x.dtype)  # (Np, 3*hd)
 
-        att_parts, pn_parts = [], []
+        att_parts, pn_parts, ok_parts = [], [], []
         for hh in range(heads):
             q = qkv[:, hh * dim_head:(hh + 1) * dim_head]
             k = qkv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
@@ -287,6 +290,8 @@ def _block_bwd_kernel(
             p, l = _softmax_rows(s, fast_softmax)
             pn = p / l
             pn_parts.append(pn)
+            # where the overflow clamp binds, d(exp(min(s,C)))/ds = 0
+            ok_parts.append((s <= _CLAMP) if fast_softmax else None)
             att_parts.append(_mm(pn.astype(v.dtype), v).astype(x.dtype))
         a = jnp.concatenate(att_parts, axis=-1)  # (Np, hd) bf16
         o1 = _mm(a, wout_ref[:]) + bout_ref[0].astype(jnp.float32)
@@ -330,7 +335,10 @@ def _block_bwd_kernel(
             dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
             dp = _mm(da_h, v, ((1,), (1,)))  # (Np, Np) f32
             delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-            ds = (p * (dp - delta) * scale).astype(x.dtype)
+            ds = p * (dp - delta) * scale
+            if ok_parts[hh] is not None:
+                ds = jnp.where(ok_parts[hh], ds, 0.0)
+            ds = ds.astype(x.dtype)
             dq_parts.append(_mm(ds, k).astype(x.dtype))
             dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))
         dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
@@ -366,6 +374,10 @@ def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
                ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
                *, heads, dim_head, valid_len, ln_eps, group: int = 1,
                fast_softmax: bool = True):
+    """Single-kernel block backward; ``group`` batches samples per program
+    (measured NEUTRAL at SiT-tiny shapes on v5e — G=2 2.67 vs G=1 2.61 ms —
+    so the train wrappers keep G=1; the knob exists for other model sizes
+    and is pinned by a parity test)."""
     B, N, dim = x.shape
     mlp = w_fc1.shape[1]
     hd = heads * dim_head
@@ -664,7 +676,7 @@ def _block_cls_bwd_kernel(
         kv = _mm(h1, wkv_ref[:]).astype(x.dtype)  # (Np, 2*hd)
         q_top = _mm(h1[:rows], wq_ref[:]).astype(x.dtype)  # (rows, hd)
 
-        att_parts, pn_parts = [], []
+        att_parts, pn_parts, ok_parts = [], [], []
         for hh in range(heads):
             q = q_top[:, hh * dim_head:(hh + 1) * dim_head]
             k = kv[:, hh * dim_head:(hh + 1) * dim_head]
@@ -673,6 +685,7 @@ def _block_cls_bwd_kernel(
             p, l = _softmax_rows(s, fast_softmax)
             pn = p / l
             pn_parts.append(pn)
+            ok_parts.append((s <= _CLAMP) if fast_softmax else None)
             v = kv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
             att_parts.append(_mm(pn.astype(v.dtype), v).astype(x.dtype))
         a = jnp.concatenate(att_parts, axis=-1)  # (rows, hd)
@@ -715,7 +728,10 @@ def _block_cls_bwd_kernel(
             dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
             dp = _mm(da_h, v, ((1,), (1,)))  # (rows, Np)
             delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
-            ds = (pn * (dp - delta) * scale).astype(x.dtype)
+            ds = pn * (dp - delta) * scale
+            if ok_parts[hh] is not None:
+                ds = jnp.where(ok_parts[hh], ds, 0.0)
+            ds = ds.astype(x.dtype)
             dq_parts.append(_mm(ds, k).astype(x.dtype))  # (rows, dh)
             dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))  # (Np, dh)
         dq_top = jnp.concatenate(dq_parts, axis=-1)  # (rows, hd)

@@ -38,6 +38,16 @@ def make_mesh(
         data = n // (fsdp * model)
     if data * fsdp * model > n:
         raise ValueError(f"mesh {data}x{fsdp}x{model} > {n} devices")
+    if data * fsdp * model < n:
+        # legal (e.g. a pinned single-device baseline on a multi-chip host)
+        # but never silent: idling hardware must be a visible choice
+        import warnings
+
+        warnings.warn(
+            f"mesh {data}x{fsdp}x{model} uses {data * fsdp * model} of {n} "
+            f"devices; set mesh_data=-1 to consume the rest",
+            stacklevel=2,
+        )
     devices = devices[: data * fsdp * model]
     arr = np.asarray(devices).reshape(data, fsdp, model)
     return Mesh(arr, AXES)

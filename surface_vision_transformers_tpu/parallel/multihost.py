@@ -36,29 +36,48 @@ def initialize_multihost(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> int:
-    """Join the multi-process JAX runtime. Arguments default to the
-    TPU-pod/launcher environment (``jax.distributed.initialize`` auto-detects
-    on Cloud TPU; set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
-    JAX_PROCESS_ID for manual launches). Safe to call when already
-    initialized or single-process. Returns ``jax.process_index()``."""
-    if jax.process_count() > 1:
-        return jax.process_index()  # already initialized by the launcher
-    want_init = (
-        coordinator_address is not None
-        or num_processes is not None
-        or os.environ.get("JAX_COORDINATOR_ADDRESS")
-        or os.environ.get("COORDINATOR_ADDRESS")
-        or os.environ.get("TPU_WORKER_HOSTNAMES")  # Cloud TPU pod slice
-    )
-    if want_init:
-        try:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        except RuntimeError:
-            pass  # already initialized
+    """Join the multi-process JAX runtime. MUST run before anything touches
+    the XLA backend (``cli._common`` calls it before importing the runner).
+
+    Arguments default to the launcher environment:
+    ``jax.distributed.initialize`` auto-detects Cloud TPU pods / SLURM; for
+    manual launches set JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID (read here and forwarded — JAX itself only knows the
+    first). No-op when nothing requests multi-process. Returns
+    ``jax.process_index()``."""
+    from jax._src import distributed as _dist
+    from jax._src import xla_bridge as _xb
+
+    if _dist.global_state.client is not None:
+        # already initialized (checked without touching the local backend,
+        # which would make initialize() below impossible)
+        return jax.process_index()
+    env = os.environ
+    coordinator_address = coordinator_address or env.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ) or env.get("COORDINATOR_ADDRESS")
+    if num_processes is None and env.get("JAX_NUM_PROCESSES"):
+        num_processes = int(env["JAX_NUM_PROCESSES"])
+    if process_id is None and env.get("JAX_PROCESS_ID"):
+        process_id = int(env["JAX_PROCESS_ID"])
+    explicit = coordinator_address is not None or num_processes is not None
+    if explicit and _xb.backends_are_initialized():
+        # degrading to single-process here would silently train a wrong
+        # global batch on every host — refuse instead
+        raise RuntimeError(
+            "initialize_multihost was given a multi-process configuration "
+            "but the XLA backend is already initialized; call it (or pass "
+            "--multihost) before any other JAX use"
+        )
+    if explicit or (
+        env.get("TPU_WORKER_HOSTNAMES")  # Cloud TPU pod slice auto-detect
+        and not _xb.backends_are_initialized()
+    ):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     return jax.process_index()
 
 

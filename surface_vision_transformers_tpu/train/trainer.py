@@ -243,12 +243,17 @@ class Trainer:
         def epoch_fn(state: TrainState, data, targets, w):
             # shuffle ONCE per epoch (a single whole-dataset permute), then
             # every step slices a contiguous batch — per-step random-row
-            # gathers cost ~6 ms each on v5e (see _batch_weights)
+            # gathers cost ~6 ms each on v5e (see _batch_weights). The
+            # permuted copy doubles dataset-resident HBM for the epoch;
+            # datasets too big for that belong on the streaming path
+            # (train_epoch_streaming).
             perm_rng = jax.random.fold_in(state.rng, 17)
             perm = jax.random.permutation(perm_rng, data.shape[0])
             data_p = self._constrain_batch(jnp.take(data, perm, axis=0))
             targets_p = (
-                jnp.take(targets, perm, axis=0) if targets is not None else None
+                self._constrain_batch(jnp.take(targets, perm, axis=0))
+                if targets is not None
+                else None
             )
 
             def one_step(state, sl):

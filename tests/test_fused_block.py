@@ -41,6 +41,108 @@ def test_fused_forward_prepatched_and_mean_pool():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
 
 
+def test_block_bwd_grouped_matches_ungrouped():
+    """_block_bwd group=2: identical dx and weight grads to group=1 (the
+    group knob batches samples per program; pinned here so it stays live)."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        _block_bwd,
+    )
+
+    rng = np.random.default_rng(3)
+    B, N, dim, heads, dh, mlp = 4, 128, 32, 2, 16, 64
+    x = jnp.asarray(rng.standard_normal((B, N, dim)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, N, dim)), jnp.float32)
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    w = (mk(dim) + 1, mk(dim), mk(dim, 3 * heads * dh), mk(heads * dh, dim),
+         mk(dim), mk(dim) + 1, mk(dim), mk(dim, mlp), mk(mlp), mk(mlp, dim))
+
+    outs = {}
+    for G in (1, 2):
+        outs[G] = _block_bwd(x, g, *w, heads=heads, dim_head=dh,
+                             valid_len=99, ln_eps=1e-5, group=G)
+    for a, b in zip(outs[1], outs[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_clamped_softmax_gradient_exact_past_clamp():
+    """When attention logits exceed the fast-softmax clamp, the backward
+    still returns the exact gradient of the COMPUTED (clamped) function.
+    Ground truth is jax.grad through an explicit clamped-softmax block in
+    FLOAT64 — naive fp32 autodiff through p=exp(u); p/S is itself 10-40x
+    off truth in this stiff regime (huge-p times tiny-cotangent products),
+    while the kernel's normalized-probability formulation stays ~4e-6."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        fused_block_train,
+    )
+
+    rng = np.random.default_rng(4)
+    B, N, dim, heads, dh, mlp = 2, 128, 32, 2, 16, 64
+    x_np = rng.standard_normal((B, N, dim))
+    # a large QKV kernel drives logits well past the clamp at 60
+    w_np = [rng.standard_normal(dim) * 0.1 + 1, rng.standard_normal(dim) * 0.1,
+            rng.standard_normal((dim, 3 * heads * dh)) * 0.8,
+            rng.standard_normal((heads * dh, dim)) * 0.1,
+            rng.standard_normal(dim) * 0.1,
+            rng.standard_normal(dim) * 0.1 + 1, rng.standard_normal(dim) * 0.1,
+            rng.standard_normal((dim, mlp)) * 0.1, rng.standard_normal(mlp) * 0.1,
+            rng.standard_normal((mlp, dim)) * 0.1, rng.standard_normal(dim) * 0.1]
+
+    def explicit(args, xx):
+        (l1s, l1b, wq, wout, bout, l2s, l2b, wfc1, bfc1, wfc2, bfc2) = args
+
+        def ln(t, s_, b_):
+            mu = t.mean(-1, keepdims=True)
+            var = ((t - mu) ** 2).mean(-1, keepdims=True)
+            return (t - mu) * jax.lax.rsqrt(var + 1e-5) * s_ + b_
+
+        h = ln(xx, l1s, l1b)
+        qkv = h @ wq
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def hs(t):
+            return t.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = hs(q), hs(k), hs(v)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * dh**-0.5
+        s = jnp.where((jnp.arange(N) < 99)[None, None, None, :], s, -1e30)
+        p = jnp.exp(jnp.minimum(s, 60.0))  # the kernel's clamped form
+        p = p / (p.sum(-1, keepdims=True) + 1e-30)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, heads * dh)
+        x1 = xx + o @ wout + bout
+        h2 = ln(x1, l2s, l2b)
+        f = h2 @ wfc1 + bfc1
+        c = 0.7978845608028654
+        f = 0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f**3)))
+        return x1 + f @ wfc2 + bfc2, s.max()
+
+    # float64 ground truth
+    with jax.enable_x64(True):
+        w64 = tuple(jnp.asarray(a, jnp.float64) for a in w_np)
+        x64 = jnp.asarray(x_np, jnp.float64)
+        _, s_max = explicit(w64, x64)
+        assert float(s_max) > 60.0, float(s_max)  # the clamp really binds
+        l64, g64 = jax.value_and_grad(
+            lambda a: jnp.mean(explicit(a, x64)[0][:, :99] ** 2)
+        )(w64)
+        g64 = [np.asarray(t) for t in g64]
+        l64 = float(l64)
+
+    w32 = tuple(jnp.asarray(a, jnp.float32) for a in w_np)
+    x32 = jnp.asarray(x_np, jnp.float32)
+    lk, gk = jax.value_and_grad(
+        lambda a: jnp.mean(fused_block_train(x32, *a, heads, dh, 99)[:, :99] ** 2)
+    )(w32)
+    assert abs(float(lk) - l64) < 1e-4 * max(abs(l64), 1.0)
+    for a, b in zip(gk, g64):
+        scale = max(1.0, float(np.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), b, atol=1e-4 * scale, rtol=1e-3,
+        )
+
+
 def test_cls_train_block_grads_match_full_block():
     """fused_block_cls_train: value and ALL gradients equal the full
     fused_block_train when the loss reads only the CLS row."""

@@ -174,3 +174,66 @@ def test_train_step_learns_on_tpu(setup):
         losses.append(m.loss)
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_tiled_flash_attention_long_seq_compiled():
+    """Blockwise (online-softmax) kernel vs einsum at a long sequence
+    (sub-ico-3-scale), compiled Mosaic, fp32."""
+    from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+        flash_attention_tiled,
+    )
+
+    key = jax.random.PRNGKey(3)
+    Bq, H, N, D = 2, 2, 1664, 64  # > MAX_SINGLE_BLOCK_SEQ, 128-aligned
+    q = jax.random.normal(key, (Bq, H, N, D), jnp.float32) * 0.3
+    k = jax.random.normal(jax.random.fold_in(key, 1), (Bq, H, N, D)) * 0.3
+    v = jax.random.normal(jax.random.fold_in(key, 2), (Bq, H, N, D)) * 0.3
+    vl = 1601
+
+    @jax.jit
+    def kernel(q, k, v):
+        return flash_attention_tiled(q, k, v, vl)
+
+    @jax.jit
+    def einsum(q, k, v):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * D**-0.5
+        s = jnp.where((jnp.arange(N) < vl)[None, None, None, :], s, -1e30)
+        return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(s, axis=-1), v)
+
+    d = float(jnp.abs(kernel(q, k, v) - einsum(q, k, v)).max())
+    assert d < 2e-3, d
+
+
+def test_cross_length_flash_attention_compiled():
+    """Nq != Nk kernel (the sequence-parallel building block: local queries
+    vs all-gathered keys) vs einsum, compiled Mosaic, fp32 — fwd and grads."""
+    from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+        flash_attention,
+    )
+
+    key = jax.random.PRNGKey(4)
+    Bq, H, Nq, Nk, D = 2, 2, 128, 384, 64
+    q = jax.random.normal(key, (Bq, H, Nq, D), jnp.float32) * 0.3
+    k = jax.random.normal(jax.random.fold_in(key, 1), (Bq, H, Nk, D)) * 0.3
+    v = jax.random.normal(jax.random.fold_in(key, 2), (Bq, H, Nk, D)) * 0.3
+    vl = 321
+
+    def einsum(q, k, v):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * D**-0.5
+        s = jnp.where((jnp.arange(Nk) < vl)[None, None, None, :], s, -1e30)
+        return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(s, axis=-1), v)
+
+    def loss_k(args):
+        return jnp.mean(flash_attention(*args, vl) ** 2)
+
+    def loss_e(args):
+        return jnp.mean(einsum(*args) ** 2)
+
+    lk, gk = jax.jit(jax.value_and_grad(loss_k))((q, k, v))
+    le, ge = jax.jit(jax.value_and_grad(loss_e))((q, k, v))
+    assert abs(float(lk) - float(le)) < 1e-5
+    for a, b in zip(gk, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
