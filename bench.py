@@ -138,6 +138,30 @@ def main():
         best_train = max(best_train, n_train / epoch_s)
     details["train"]["best_surfaces_per_s"] = round(best_train, 1)
 
+    # model-family variants (inference, B=256): the framework is not tuned
+    # to one shape
+    details["variants"] = {}
+    for name, dim, heads, sub in (("small", 384, 6, 2), ("base", 768, 12, 2),
+                                  ("tiny-subico1", 192, 3, 1)):
+        tab_v = load_patch_table(6, sub)
+        L, V = tab_v.indices.shape
+        model_v = SiT(dim=dim, depth=12, heads=heads, mlp_dim=4 * dim,
+                      num_patches=L, num_vertices=V,
+                      patch_table=tab_v.indices)
+        params_v = model_v.init(key, jnp.zeros((1, 4, 40962)))
+        xv = jax.random.normal(key, (256, 4, 40962), jnp.bfloat16)
+
+        def step_v(p, x, i, m=model_v):
+            return fused_forward(
+                m, p, x + i.astype(jnp.bfloat16) * jnp.bfloat16(2**-7)
+            ).mean().astype(jnp.float32)
+
+        dt = timed_scan(step_v, (params_v, xv), iters=11)
+        details["variants"][f"SiT-{name}"] = {
+            "ms_per_batch_256": round(dt * 1e3, 3),
+            "surfaces_per_s": round(256 / dt, 1),
+        }
+
     details["best_batch"] = best_bs
     details["baseline_a100_estimate_surfaces_per_s"] = BASELINE_A100_SURFACES_PER_S
     Path(__file__).with_name("BENCH_DETAILS.json").write_text(
