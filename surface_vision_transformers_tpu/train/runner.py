@@ -80,9 +80,15 @@ def _write_preds_csv(path, preds, targets) -> None:
             w.writerow([float(p), float(t)])
 
 
-def load_datasets(exp: Experiment, splits=("train", "validation")) -> dict:
-    """Load reference-format .npy splits from the configured data path."""
+def load_datasets(exp: Experiment, splits=None) -> dict:
+    """Load reference-format .npy splits from the configured data path. With
+    ``training.testing: True`` the test split loads too, so the end-of-run
+    test (reference tools/train.py:378-435) actually has data."""
     path = exp.data.resolved_data_path()
+    if splits is None:
+        splits = ("train", "validation")
+        if exp.training.testing:
+            splits = splits + ("test",)
     out = {}
     for split in splits:
         data, labels = npy_io.load_split(path, split)
@@ -372,14 +378,22 @@ def _run_training_inner(
         results["mesh"] = {k: int(v) for k, v in mesh.shape.items()}
 
     if exp.training.testing and "test" in datasets:
+        # the reference tests the BEST checkpoint, not the final state
+        # (tools/train.py:378-435 rebuilds the model and reloads best)
+        test_state = state
+        if exp.training.save_ckpt and best_epoch >= 0:
+            test_state, _ = orbax_io.restore_state(run_dir / "best", state)
         test_data, test_labels = datasets["test"]
         tm, preds = trainer.evaluate(
-            state,
+            test_state,
             _device_put(exp, test_data, mesh),
             _device_put(exp, test_labels, mesh),
         )
-        _write_preds_csv(run_dir / "test_preds.csv", preds, test_labels)
-        results["test_mae"] = float(tm.mae)
+        if preds is not None:
+            _write_preds_csv(run_dir / "test_preds.csv", preds, test_labels)
+        results["test_mae" if not is_mpp else "test_loss"] = float(
+            tm.mae if not is_mpp else tm.loss
+        )
 
     dump_config_with_results(exp, results, run_dir / "hparams_results.yml")
     logger.close()

@@ -56,6 +56,31 @@ def test_mpp_then_finetune(tmp_path):
     assert np.isfinite(res_ft["best_mae"])
 
 
+def test_end_of_run_test_loads_split_and_uses_best(tmp_path):
+    """training.testing: True must actually test — the split loads from disk
+    (it silently didn't, pre-fix) and evaluation uses the BEST checkpoint
+    like reference tools/train.py:378-435, not the final state."""
+    data, labels = make_regression_dataset(
+        48, num_patches=L, num_vertices=V, label_range=(-1, 1), seed=0
+    )
+    ddir = tmp_path / "data"
+    ddir.mkdir()
+    for split, sl in (("train", slice(0, 24)), ("validation", slice(24, 36)),
+                      ("test", slice(36, 48))):
+        np.save(ddir / f"{split}_data.npy", data[sl])
+        np.save(ddir / f"{split}_labels.npy", labels[sl])
+
+    raw = base_raw(epochs=3, val_epoch=1, testing=True)
+    raw["data"] = {"data_path": str(ddir)}
+    raw["logging"] = {"folder_to_save_model": str(tmp_path / "logs")}
+    from surface_vision_transformers_tpu.utils.config import from_dict as fd
+
+    res = runner.run_training(fd(raw), run_root=tmp_path / "run",
+                              progress=False)
+    assert np.isfinite(res["test_mae"])
+    assert (Path(res["run_dir"]) / "test_preds.csv").exists()
+
+
 def test_run_testing_on_mpp_config(tmp_path):
     """run_testing with an MPP config reports the reconstruction loss instead
     of crashing on preds=None (VERDICT r1 weak #5)."""
