@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from surface_vision_transformers_tpu.models.sit import SiT
 from surface_vision_transformers_tpu.ops import fused_patch_embed, rearrange_patched
+from surface_vision_transformers_tpu.ops.patchify import _GATHER_CHUNK
 from surface_vision_transformers_tpu.ops.pallas.fused_block import fused_block
 
 
@@ -52,6 +53,7 @@ def fused_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
             x, model.patch_table, p["patch_embedding_kernel"],
             p["patch_embedding_bias"], means=model.norm_means,
             stds=model.norm_stds, compute_dtype=dt,
+            gather_chunk=_GATHER_CHUNK,
         )
     else:
         tokens = rearrange_patched(x).astype(dt)
@@ -148,6 +150,7 @@ def fused_train_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
             x, model.patch_table, p["patch_embedding_kernel"],
             p["patch_embedding_bias"], means=model.norm_means,
             stds=model.norm_stds, compute_dtype=dt,
+            gather_chunk=_GATHER_CHUNK,
         )
     else:
         tokens = rearrange_patched(x).astype(dt)

@@ -78,6 +78,33 @@ class Attention(nn.Module):
     # keys/values (shard_map over seq_mesh)
     seq_shard_axis: Optional[str] = None
     seq_mesh: Any = None
+    # batch parallelism (DP/FSDP mesh, no sequence sharding): a raw
+    # pallas_call on GSPMD-sharded activations is unpartitionable, so the
+    # packed kernel is shard_mapped over the batch axes instead — each shard
+    # runs the kernel on its local batch. Set by the Trainer when a mesh is
+    # active; requires the 'model' axis to be trivial (TP shards the qkv
+    # FEATURE dim, which the einsum path lets GSPMD partition instead).
+    batch_mesh: Any = None
+
+    def _batch_mesh_ok(self, B: int) -> bool:
+        if self.batch_mesh is None:
+            return False
+        shape = dict(self.batch_mesh.shape)
+        if shape.get("model", 1) != 1:
+            return False
+        nb = shape.get("data", 1) * shape.get("fsdp", 1)
+        return B % nb == 0
+
+    def _batch_sharded_kernel(self, fn, qkv):
+        """shard_map ``fn`` (a packed-kernel call) over the batch axes."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(("data", "fsdp"), None, None)
+        return shard_map(
+            fn, mesh=self.batch_mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )(qkv)
 
     def _use_packed_kernel(self, seq_len: int) -> bool:
         """The packed-QKV Pallas kernel needs a tile-aligned sequence and a
@@ -165,10 +192,47 @@ class Attention(nn.Module):
         B, N = qkv.shape[0], qkv.shape[1]
 
         out = None
-        if self.dropout > 0.0 and not deterministic:
+        if (
+            self.dropout > 0.0
+            and not deterministic
+            and self.seq_shard_axis is None
+            and self._use_packed_kernel(N)
+            and (self.batch_mesh is None or self._batch_mesh_ok(B))
+        ):
+            # attention-probability dropout runs IN-KERNEL (Mosaic PRNG, mask
+            # regenerated in the backward) — training with regularization on
+            # keeps the flash path instead of falling off the perf cliff to
+            # the HBM-materialized einsum below
+            from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+                flash_attention_qkv_dropout,
+            )
+
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+            )
+            if self.batch_mesh is not None:
+                # per-shard kernel; decorrelate masks across shards (the
+                # kernel seeds by LOCAL batch index)
+                def drop_local(qkv_loc):
+                    ax = jax.lax.axis_index("data") * jnp.int32(2_654_435)
+                    if "fsdp" in dict(self.batch_mesh.shape):
+                        ax = ax + jax.lax.axis_index("fsdp") * jnp.int32(40_503)
+                    return flash_attention_qkv_dropout(
+                        qkv_loc, self.heads, valid_len, self.dropout,
+                        seed + ax,
+                    )
+
+                out = self._batch_sharded_kernel(drop_local, qkv)
+            else:
+                out = flash_attention_qkv_dropout(
+                    qkv, self.heads, valid_len, self.dropout, seed
+                )
+        elif self.dropout > 0.0 and not deterministic:
             # the reference applies dropout to the attention PROBABILITIES as
-            # well as after the out-projection; kernels skip dropout, so take
-            # the explicit path while training with dropout
+            # well as after the out-projection; when the packed kernel does
+            # not apply (CPU, unaligned N, sequence sharding) take the
+            # explicit path while training with dropout
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
             def heads_t(t):
@@ -202,6 +266,22 @@ class Attention(nn.Module):
             # lets GSPMD insert the collectives (never run an unpartitionable
             # pallas call on sharded activations — XLA would replicate it)
             pass
+        elif self._use_packed_kernel(N) and self.batch_mesh is not None:
+            if self._batch_mesh_ok(B):
+                from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+                    flash_attention_qkv,
+                )
+
+                # DP/FSDP mesh: run the packed kernel PER SHARD via
+                # shard_map (batch parallelism composes trivially with
+                # attention); raw pallas on sharded activations would be
+                # unpartitionable
+                out = self._batch_sharded_kernel(
+                    lambda q: flash_attention_qkv(q, self.heads, valid_len),
+                    qkv,
+                )
+            # else: einsum below; GSPMD partitions it (TP-sharded features
+            # or an indivisible batch)
         elif self._use_packed_kernel(N):
             from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
                 flash_attention_qkv,
@@ -218,10 +298,15 @@ class Attention(nn.Module):
 
             out = multi_head_attention(
                 heads(q), heads(k), heads(v), valid_len,
-                # under sequence sharding never dispatch an unpartitionable
-                # pallas call on sharded activations (GSPMD would replicate
-                # it); XLA's einsum lets it insert collectives instead
-                backend="xla" if self.seq_shard_axis else self.attn_backend,
+                # under sequence OR batch sharding never dispatch an
+                # unpartitionable pallas call on sharded activations (GSPMD
+                # would replicate it); XLA's einsum lets it insert
+                # collectives instead
+                backend=(
+                    "xla"
+                    if (self.seq_shard_axis or self.batch_mesh is not None)
+                    else self.attn_backend
+                ),
                 precision=self.precision,
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
@@ -312,6 +397,8 @@ class Encoder(nn.Module):
     # attention). seq_mesh carries the concrete Mesh for the constraint.
     seq_shard_axis: Optional[str] = None
     seq_mesh: Any = None
+    # batch parallelism: DP/FSDP mesh for shard_map'd attention kernels
+    batch_mesh: Any = None
 
     def _seq_constraint(self, x):
         if self.seq_shard_axis is None or self.seq_mesh is None:
@@ -357,6 +444,7 @@ class Encoder(nn.Module):
                 attn_backend=self.attn_backend,
                 seq_shard_axis=self.seq_shard_axis,
                 seq_mesh=self.seq_mesh,
+                batch_mesh=self.batch_mesh,
                 name=f"layers_{i}_attn",
                 **common,
             )(x, deterministic=deterministic, valid_len=valid_len)
@@ -404,6 +492,7 @@ class SiT(nn.Module):
     remat: bool = False
     seq_shard_axis: Optional[str] = None  # sequence parallelism (see Encoder)
     seq_mesh: Any = None
+    batch_mesh: Any = None  # DP/FSDP mesh for shard_map'd kernels (Encoder)
     # pad the token sequence ONCE to a 128-multiple so every layer runs
     # tile-aligned and the attention kernels need no per-layer padding; the
     # padding is masked in attention and sliced off at pooling, so outputs
@@ -471,6 +560,7 @@ class SiT(nn.Module):
             remat=self.remat,
             seq_shard_axis=self.seq_shard_axis,
             seq_mesh=self.seq_mesh,
+            batch_mesh=self.batch_mesh,
             name="encoder",
         )
         self.head_norm = nn.LayerNorm(
@@ -505,7 +595,14 @@ class SiT(nn.Module):
                 self.pe_bias,
                 means=self.norm_means,
                 stds=self.norm_stds,
-                backend=self.patch_backend,
+                # under any sharding the XLA gather+GEMM is the
+                # GSPMD-partitionable form (pallas patch-embed would be an
+                # unpartitionable raw kernel on sharded activations)
+                backend=(
+                    "xla"
+                    if (self.batch_mesh is not None or self.seq_shard_axis)
+                    else self.patch_backend
+                ),
                 compute_dtype=self.dtype,
             )
         elif x.ndim == 4:

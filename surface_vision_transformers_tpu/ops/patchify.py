@@ -94,6 +94,14 @@ def normalize_tokens(
     return (tokens - jnp.tile(means, reps)) / jnp.tile(stds, reps)
 
 
+# XLA's row gather runs SUPERLINEAR in batch on v5e (0.80 / 2.05 / 4.76 ms
+# at B=256/512/1024 for sub-ico-2 — the only non-linear stage in the whole
+# forward); chunking the gather+GEMM to this batch granularity via lax.map
+# restores linear scaling (B=1024: 51.5 -> 49.9 ms full-model, reaching
+# B=256's per-surface throughput). 128 measured best among {64, 128, 256}.
+_GATHER_CHUNK = 128
+
+
 def fused_patch_embed(
     x: jax.Array,
     indices,
@@ -104,12 +112,19 @@ def fused_patch_embed(
     stds=None,
     backend: str = "auto",
     compute_dtype=jnp.bfloat16,
+    gather_chunk: int | None = None,
 ) -> jax.Array:
     """Patchify + (optional) normalize + embed: (B, C, G) -> (B, L, dim).
 
     The normalization folds into (kernel, bias) at trace time; the gather and
     GEMM execute in one jit region (XLA fuses), or in a single Pallas kernel
     with ``backend='pallas'`` on TPU.
+
+    ``gather_chunk``: split the gather+GEMM into lax.map tiles of this many
+    samples (bitwise-identical output; see _GATHER_CHUNK). OPT-IN because the
+    (B, ...) -> (B/chunk, chunk, ...) reshape is hostile to GSPMD batch
+    sharding — callers on the single-device / per-shard path (models.fused,
+    trainer without a mesh) pass _GATHER_CHUNK; sharded callers leave None.
     """
     if means is not None:
         kernel, bias = fold_normalization(
@@ -136,10 +151,20 @@ def fused_patch_embed(
     L, V = indices.shape
     B, C, G = x.shape
     flat_v = jnp.asarray(np.ascontiguousarray(indices.reshape(-1)))
-    gathered = jnp.take(x, flat_v, axis=2).reshape(B, C, L, V)
     w_cv = (
         kernel.reshape(V, C, -1).transpose(1, 0, 2).astype(compute_dtype)
     )  # (C, V, dim); kernel rows are (v c)-ordered: row v*C + c
-    return jax.lax.dot_general(
-        gathered.astype(compute_dtype), w_cv, (((1, 3), (0, 1)), ((), ()))
-    ) + bias.astype(compute_dtype)
+    bias_c = bias.astype(compute_dtype)
+
+    def embed_chunk(xc):
+        gathered = jnp.take(xc, flat_v, axis=2).reshape(xc.shape[0], C, L, V)
+        return jax.lax.dot_general(
+            gathered.astype(compute_dtype), w_cv, (((1, 3), (0, 1)), ((), ()))
+        ) + bias_c
+
+    if gather_chunk and B > gather_chunk and B % gather_chunk == 0:
+        out = jax.lax.map(
+            embed_chunk, x.reshape(B // gather_chunk, gather_chunk, C, G)
+        )
+        return out.reshape(B, L, out.shape[-1])
+    return embed_chunk(x)

@@ -93,6 +93,12 @@ class Trainer:
         model_overrides = {}
         if mesh is not None and getattr(exp.tpu, "seq_sharding", False):
             model_overrides = {"seq_mesh": mesh}
+        elif mesh is not None and mesh.size > 1:
+            # DP/FSDP/TP without sequence sharding: attention shard_maps the
+            # packed kernel over the batch axes (or falls back to the
+            # GSPMD-partitionable einsum under TP) — a raw pallas_call on
+            # sharded activations would be unpartitionable
+            model_overrides = {"batch_mesh": mesh}
         self.model = model or SiT.from_config(
             exp, patch_table=patch_table, **model_overrides
         )
@@ -193,6 +199,10 @@ class Trainer:
             and self.model.dropout == 0.0
             and self.model.emb_dropout == 0.0
             and self.model.seq_shard_axis is None
+            # raw pallas megakernels are unpartitionable under GSPMD; with a
+            # real mesh the modular path runs (attention still keeps its
+            # kernel via the batch-shard_map in models.sit.Attention)
+            and (self.mesh is None or self.mesh.size == 1)
         )
 
     def _loss(self, params, batch, targets, weights, rng, deterministic):
@@ -368,6 +378,8 @@ class Trainer:
             and _jax.default_backend() == "tpu"
             and self.model.dtype == jnp.bfloat16
             and self.model.precision is None
+            # same mesh rule as _use_fused_train
+            and (self.mesh is None or self.mesh.size == 1)
         )
 
     def _infer(self, params, batch):

@@ -148,3 +148,100 @@ class TestTiledAttention:
         out = multi_head_attention(q, k, v, backend="pallas")
         ref = xla_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+class TestDropoutKernel:
+    """Attention-probability dropout variant of the packed kernel.
+
+    In interpret mode the kernel consumes the host-built keep mask
+    (_keep_mask_host), so outputs/grads must match an explicit softmax ->
+    mask/scale -> @V implementation using the SAME mask exactly.
+    """
+
+    @staticmethod
+    def _explicit(qkv, heads, valid_len, rate, keep):
+        B, N, F = qkv.shape
+        dh = F // (3 * heads)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_t(t):
+            return t.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_t(q), heads_t(k), heads_t(v)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) * dh**-0.5
+        if valid_len is not None and valid_len < N:
+            s = jnp.where((jnp.arange(N) < valid_len)[None, None, None, :],
+                          s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        p = jnp.where(keep, p, 0.0) / (1.0 - rate)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+        return o.transpose(0, 2, 1, 3).reshape(B, N, heads * dh)
+
+    def test_forward_matches_explicit_same_mask(self):
+        from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+            _keep_mask_host, flash_attention_qkv_dropout,
+        )
+
+        B, N, heads, dh, rate = 2, 128, 3, 64, 0.35
+        qkv = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3 * heads * dh))
+        seed = jnp.array(1234, jnp.int32)
+        out = flash_attention_qkv_dropout(qkv, heads, 100, rate, seed)
+        keep = _keep_mask_host(seed, B, heads, N, rate)
+        ref = self._explicit(qkv, heads, 100, rate, keep)
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :100], np.asarray(ref)[:, :100], atol=3e-5
+        )
+
+    def test_grads_match_explicit_same_mask(self):
+        from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+            _keep_mask_host, flash_attention_qkv_dropout,
+        )
+
+        B, N, heads, dh, rate = 1, 128, 2, 64, 0.5
+        qkv = jax.random.normal(jax.random.PRNGKey(2), (B, N, 3 * heads * dh))
+        seed = jnp.array(77, jnp.int32)
+        keep = _keep_mask_host(seed, B, heads, N, rate)
+
+        def lk(qkv):
+            return (flash_attention_qkv_dropout(qkv, heads, N, rate, seed)
+                    ** 2).sum()
+
+        def lr(qkv):
+            return (self._explicit(qkv, heads, None, rate, keep) ** 2).sum()
+
+        g1 = jax.grad(lk)(qkv)
+        g2 = jax.grad(lr)(qkv)
+        scale = max(float(np.abs(np.asarray(g2)).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), atol=5e-4 * scale
+        )
+
+    def test_drop_fraction_near_rate(self):
+        from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+            _keep_mask_host,
+        )
+
+        keep = _keep_mask_host(jnp.array(5, jnp.int32), 4, 3, 128, 0.25)
+        frac = 1.0 - float(jnp.mean(keep.astype(jnp.float32)))
+        assert abs(frac - 0.25) < 0.01
+
+    def test_model_trains_with_dropout_through_kernel(self):
+        """SiT with dropout>0 + attn_backend='pallas' routes attention through
+        the dropout kernel (interpret on CPU) and takes a finite grad step."""
+        from surface_vision_transformers_tpu.models import SiT
+
+        model = SiT(dim=64, depth=2, heads=2, dim_head=32, mlp_dim=128,
+                    num_patches=20, num_vertices=153, num_channels=4,
+                    dropout=0.1, attn_backend="pallas", dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 20, 153))
+        params = model.init(jax.random.PRNGKey(1), x)
+
+        def loss(p, rng):
+            out = model.apply(p, x, deterministic=False,
+                              rngs={"dropout": rng})
+            return (out ** 2).mean()
+
+        val, g = jax.value_and_grad(loss)(params, jax.random.PRNGKey(2))
+        assert np.isfinite(float(val))
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(t)).all() for t in flat)

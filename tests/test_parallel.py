@@ -307,3 +307,65 @@ def test_sequence_parallel_matches_replicated(data, backend):
         l = shard_batch(jnp.asarray(l_np), mesh)
         s1, m1 = t1.train_epoch(s1, d, l)
     assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
+
+
+@pytest.mark.parametrize("shape", [(8, 1, 1), (2, 2, 1), (1, 2, 4)])
+def test_batch_sharded_kernel_matches_single_device(data, shape):
+    """With kernel_backend='pallas' under a DP/FSDP mesh, attention runs the
+    packed kernel PER SHARD via shard_map (models.sit.Attention.batch_mesh);
+    under TP (model>1) it must fall back to the GSPMD-partitionable einsum.
+    Either way the training trajectory matches single-device."""
+    d_np, l_np = data
+    exp = tiny_exp()
+    exp = from_dict({**exp.raw, "tpu": {"compute_dtype": "float32",
+                                        "kernel_backend": "pallas"}})
+
+    t0 = Trainer(exp)
+    assert t0.model.attn_backend == "pallas"
+    s0 = t0.init_state(d_np[:1])
+    s0, m0 = t0.train_epoch(s0, jnp.asarray(d_np), jnp.asarray(l_np))
+
+    mesh = make_mesh(*shape)
+    t1 = Trainer(exp, mesh=mesh)
+    assert t1.model.batch_mesh is mesh
+    s1 = t1.init_state(d_np[:1])
+    with mesh:
+        s1 = s1.replace(params=shard_params(s1.params, mesh))
+        d = shard_batch(jnp.asarray(d_np), mesh)
+        l = shard_batch(jnp.asarray(l_np), mesh)
+        s1, m1 = t1.train_epoch(s1, d, l)
+
+    assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
+    p0 = jax.tree.leaves(s0.params)
+    p1 = jax.tree.leaves(jax.device_get(s1.params))
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dropout_kernel_under_mesh_runs(data):
+    """Training with dropout>0 + pallas backend under a DP mesh takes the
+    shard_map'd dropout kernel; losses stay finite and params update."""
+    d_np, l_np = data
+    exp = tiny_exp()
+    raw = dict(exp.raw)
+    raw["tpu"] = {"compute_dtype": "float32", "kernel_backend": "pallas"}
+    raw["transformer"] = {**raw["transformer"], "dropout": 0.1}
+    exp = from_dict(raw)
+
+    mesh = make_mesh(8, 1, 1)
+    t = Trainer(exp, mesh=mesh)
+    s = t.init_state(d_np[:1])
+    import numpy as _np
+
+    p_before = jax.tree.leaves(jax.device_get(s.params))
+    with mesh:
+        s = s.replace(params=shard_params(s.params, mesh))
+        d = shard_batch(jnp.asarray(d_np), mesh)
+        l = shard_batch(jnp.asarray(l_np), mesh)
+        s, m = t.train_epoch(s, d, l)
+    assert _np.isfinite(m.loss)
+    p_after = jax.tree.leaves(jax.device_get(s.params))
+    assert any(
+        not _np.allclose(_np.asarray(a), _np.asarray(b))
+        for a, b in zip(p_before, p_after)
+    )

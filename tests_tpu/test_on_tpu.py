@@ -237,3 +237,41 @@ def test_cross_length_flash_attention_compiled():
     for a, b in zip(gk, ge):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-3)
+
+
+def test_dropout_kernel_compiled():
+    """In-kernel PRNG dropout (compiled Mosaic): reproducible for a fixed
+    seed, distinct across seeds, rate->0 bit-equal to the plain packed
+    kernel, backward finite, and the kept-fraction matches 1-rate."""
+    from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+        flash_attention_qkv, flash_attention_qkv_dropout,
+    )
+
+    Bq, N, H, Dh = 8, 128, 3, 64
+    qkv = jax.random.normal(
+        jax.random.PRNGKey(9), (Bq, N, 3 * H * Dh), jnp.float32
+    ) * 0.3
+    s1 = jnp.array(123, jnp.int32)
+    s2 = jnp.array(456, jnp.int32)
+
+    f = jax.jit(lambda q, s: flash_attention_qkv_dropout(q, H, 100, 0.3, s))
+    o1a, o1b, o2 = f(qkv, s1), f(qkv, s1), f(qkv, s2)
+    assert (np.asarray(o1a) == np.asarray(o1b)).all()
+    assert not (np.asarray(o1a) == np.asarray(o2)).all()
+
+    oz = jax.jit(
+        lambda q, s: flash_attention_qkv_dropout(q, H, 100, 1e-9, s)
+    )(qkv, s1)
+    ref = jax.jit(lambda q: flash_attention_qkv(q, H, 100))(qkv)
+    assert (np.asarray(oz) == np.asarray(ref)).all()
+
+    g = jax.jit(jax.grad(
+        lambda q: (flash_attention_qkv_dropout(q, H, 100, 0.3, s1) ** 2).sum()
+    ))(qkv)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # E[dropout(P)] = P: averaged over rows/batch the kept mass ~ unbiased.
+    # Compare row means of outputs (cheap statistical sanity, wide tolerance)
+    m_drop = float(jnp.abs(o1a[:, :100]).mean())
+    m_ref = float(jnp.abs(ref[:, :100]).mean())
+    assert abs(m_drop - m_ref) / m_ref < 0.25
