@@ -24,6 +24,31 @@ from surface_vision_transformers_tpu.ops.patchify import _GATHER_CHUNK
 from surface_vision_transformers_tpu.ops.pallas.fused_block import fused_block
 
 
+
+def _pure_dp(mesh) -> bool:
+    """Only the 'data' axis is nontrivial — params replicated, batch sharded;
+    the preconditions for shard_mapping a megakernel with P() param specs."""
+    if mesh is None or mesh.size == 1:
+        return False
+    return all(v == 1 for k, v in dict(mesh.shape).items() if k != "data")
+
+
+def _dp_shard_map(fn, mesh, variables, x):
+    """Run ``fn(variables, x)`` per data shard: params replicated (P() spec
+    prefix), batch sharded. The shard_map transpose psums replicated-input
+    cotangents, so differentiating through this yields correctly summed
+    weight grads."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec_x = P(("data", "fsdp"), *([None] * (x.ndim - 1)))
+    spec_o = P(("data", "fsdp"), None)
+    return shard_map(
+        fn, mesh=mesh, in_specs=(P(), spec_x), out_specs=spec_o,
+        check_vma=False,
+    )(variables, x)
+
+
 def _layer_norm(x, scale, bias, eps=1e-5):
     h = x.astype(jnp.float32)
     mu = jnp.mean(h, axis=-1, keepdims=True)
@@ -31,9 +56,29 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return (h - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def fused_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
+# Per-surface throughput is flat-to-best at B=256 and everything in the
+# forward scales linearly except residual gather/batch effects, so large
+# serving batches run as an on-device lax.map over tiles of this size
+# (B=1024: 4 x the B=256 time + ~0.3 ms map overhead, instead of ~4% worse
+# per surface).
+_INFER_MICROBATCH = 256
+
+
+def fused_forward(
+    model: SiT, variables, x: jax.Array, *, mesh=None,
+    microbatch: int | None = _INFER_MICROBATCH,
+) -> jax.Array:
     """Inference-only forward with fused-block kernels. x: raw (B, C, G) or
     pre-patched (B, C, L, V); returns (B, num_classes).
+
+    ``mesh``: under a PURE-DP mesh the whole forward shard_maps over the
+    batch axes (params replicated), keeping every megakernel on the per-shard
+    path — a raw pallas_call on GSPMD-sharded activations would be
+    unpartitionable. Non-DP meshes (FSDP/TP shard the params) must use the
+    modular model instead.
+
+    ``microbatch``: batches larger than this run as an on-device lax.map
+    over tiles of this size (identical outputs; see _INFER_MICROBATCH).
 
     The sequence pads to the next SUBLANE multiple (N % 8; 321 -> 328 for
     sub-ico-2) rather than the modular path's lane multiple (384): score
@@ -44,6 +89,25 @@ def fused_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
     from surface_vision_transformers_tpu.ops.pallas.fused_block import (
         fused_block_cls,
     )
+
+    if mesh is not None and mesh.size > 1:
+        if not _pure_dp(mesh) or x.shape[0] % mesh.shape["data"]:
+            raise ValueError(
+                "fused paths under a mesh require pure DP with the batch "
+                "divisible by the data axis; use the modular model"
+            )
+        return _dp_shard_map(
+            lambda v, xx: fused_forward(model, v, xx, microbatch=microbatch),
+            mesh, variables, x,
+        )
+
+    B = x.shape[0]
+    if microbatch and B > microbatch and B % microbatch == 0:
+        xt = x.reshape(B // microbatch, microbatch, *x.shape[1:])
+        out = jax.lax.map(
+            lambda c: fused_forward(model, variables, c, microbatch=None), xt
+        )
+        return out.reshape(B, out.shape[-1])
 
     p = variables["params"] if "params" in variables else variables
     dt = model.dtype
@@ -132,15 +196,33 @@ def predict(model: SiT, variables, data, *, batch_size: int = 256):
     return np.concatenate(outs, axis=0)
 
 
-def fused_train_forward(model: SiT, variables, x: jax.Array) -> jax.Array:
+def fused_train_forward(
+    model: SiT, variables, x: jax.Array, *, mesh=None
+) -> jax.Array:
     """DIFFERENTIABLE fused forward: same megakernel blocks with the
     single-kernel backward (fused_block_train). Gradients flow to every
     parameter in the tree; embed/pool/head stay XLA (they are cheap and
     autodiff-friendly). GELU is the tanh form in both directions (deviation
-    from erf-GELU is below bf16 resolution)."""
+    from erf-GELU is below bf16 resolution).
+
+    ``mesh``: pure-DP meshes shard_map the whole step over the batch axes
+    (params replicated; the shard_map transpose psums the weight grads), so
+    multi-chip data-parallel training keeps the single-kernel-per-block
+    backward. FSDP/TP meshes use the modular model."""
     from surface_vision_transformers_tpu.ops.pallas.fused_block import (
         fused_block_train,
     )
+
+    if mesh is not None and mesh.size > 1:
+        if not _pure_dp(mesh) or x.shape[0] % mesh.shape["data"]:
+            raise ValueError(
+                "fused paths under a mesh require pure DP with the batch "
+                "divisible by the data axis; use the modular model"
+            )
+        return _dp_shard_map(
+            lambda v, xx: fused_train_forward(model, v, xx),
+            mesh, variables, x,
+        )
 
     p = variables["params"] if "params" in variables else variables
     dt = model.dtype

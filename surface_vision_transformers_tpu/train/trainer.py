@@ -191,23 +191,48 @@ class Trainer:
         never in fp32 parity mode (set tpu.fused_train: false to disable)."""
         import jax as _jax
 
+        import os as _os
+
+        from surface_vision_transformers_tpu.models.fused import _pure_dp
+
+        forced = _os.environ.get("SVT_FORCE_FUSED") == "1"  # test hook:
+        # exercise the fused paths in interpret mode on CPU meshes
         return (
             getattr(self.exp.tpu, "fused_train", True)
-            and _jax.default_backend() == "tpu"
-            and self.model.dtype == jnp.bfloat16
+            and (_jax.default_backend() == "tpu" or forced)
+            and (self.model.dtype == jnp.bfloat16 or forced)
             and self.model.precision is None
             and self.model.dropout == 0.0
             and self.model.emb_dropout == 0.0
             and self.model.seq_shard_axis is None
-            # raw pallas megakernels are unpartitionable under GSPMD; with a
-            # real mesh the modular path runs (attention still keeps its
-            # kernel via the batch-shard_map in models.sit.Attention)
-            and (self.mesh is None or self.mesh.size == 1)
+            # raw pallas megakernels are unpartitionable under GSPMD. A
+            # PURE-DP mesh keeps them via the batch shard_map inside
+            # models.fused (params replicated per shard); FSDP/TP meshes
+            # run the modular path (attention still keeps its kernel via
+            # Attention.batch_mesh)
+            and (
+                self.mesh is None
+                or self.mesh.size == 1
+                or _pure_dp(self.mesh)
+            )
+        )
+
+    def _fused_batch_ok(self, b: int) -> bool:
+        """Pure-DP fused shard_map needs the batch divisible by the data
+        axis (mesh-trivial runs are always fine)."""
+        return (
+            self.mesh is None
+            or self.mesh.size == 1
+            or b % dict(self.mesh.shape).get("data", 1) == 0
         )
 
     def _loss(self, params, batch, targets, weights, rng, deterministic):
         if self.task == "mpp":
-            if deterministic and self._use_fused_train():
+            if (
+                deterministic
+                and self._use_fused_train()
+                and (self.mesh is None or self.mesh.size == 1)
+            ):
                 from surface_vision_transformers_tpu.models.fused import (
                     fused_mpp_loss,
                 )
@@ -226,12 +251,18 @@ class Trainer:
             # MAE is not meaningful for MPP; report loss twice
             return loss, loss
         rngs = {"dropout": rng} if not deterministic else {}
-        if deterministic and self._use_fused_train():
+        if (
+            deterministic
+            and self._use_fused_train()
+            and self._fused_batch_ok(batch.shape[0])
+        ):
             from surface_vision_transformers_tpu.models.fused import (
                 fused_train_forward,
             )
 
-            preds = fused_train_forward(self.model, {"params": params}, batch)
+            preds = fused_train_forward(
+                self.model, {"params": params}, batch, mesh=self.mesh
+            )
         else:
             preds = self.model.apply(
                 {"params": params}, batch, deterministic=deterministic, rngs=rngs
@@ -373,20 +404,31 @@ class Trainer:
         sequence + regression task (MPP eval needs the recon head)."""
         import jax as _jax
 
+        import os as _os
+
+        from surface_vision_transformers_tpu.models.fused import _pure_dp
+
+        forced = _os.environ.get("SVT_FORCE_FUSED") == "1"
         return (
             self.task == "regression"
-            and _jax.default_backend() == "tpu"
-            and self.model.dtype == jnp.bfloat16
+            and (_jax.default_backend() == "tpu" or forced)
+            and (self.model.dtype == jnp.bfloat16 or forced)
             and self.model.precision is None
             # same mesh rule as _use_fused_train
-            and (self.mesh is None or self.mesh.size == 1)
+            and (
+                self.mesh is None
+                or self.mesh.size == 1
+                or _pure_dp(self.mesh)
+            )
         )
 
     def _infer(self, params, batch):
-        if self._use_fused_inference():
+        if self._use_fused_inference() and self._fused_batch_ok(batch.shape[0]):
             from surface_vision_transformers_tpu.models.fused import fused_forward
 
-            return fused_forward(self.model, {"params": params}, batch)
+            return fused_forward(
+                self.model, {"params": params}, batch, mesh=self.mesh
+            )
         return self.model.apply({"params": params}, batch)
 
     def _build_eval_fn(self, steps: int, bs: int):

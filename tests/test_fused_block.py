@@ -242,3 +242,16 @@ def test_fused_mpp_loss_matches_modular():
     assert abs(float(loss_mod) - float(loss_fused)) < 5e-3 * float(loss_mod)
     np.testing.assert_allclose(np.asarray(recon_fused), np.asarray(recon_mod),
                                atol=2e-2)
+
+
+def test_fused_forward_microbatch_identical(setup):
+    """Large serving batches run as lax.map over _INFER_MICROBATCH tiles;
+    output must be IDENTICAL to the unbatched forward."""
+    model, params, _ = setup
+    x4 = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 40962))
+    whole = fused_forward(model, params, x4, microbatch=None)
+    tiled = fused_forward(model, params, x4, microbatch=2)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
+    # indivisible batch falls back to the whole-batch path
+    odd = fused_forward(model, params, x4[:3], microbatch=2)
+    np.testing.assert_array_equal(np.asarray(odd), np.asarray(whole[:3]))

@@ -369,3 +369,62 @@ def test_dropout_kernel_under_mesh_runs(data):
         not _np.allclose(_np.asarray(a), _np.asarray(b))
         for a, b in zip(p_before, p_after)
     )
+
+
+def test_fused_megakernel_pure_dp_matches_single_device(data, monkeypatch):
+    """Under a PURE-DP mesh the fused megakernel train path runs per shard
+    via shard_map in models.fused (params replicated; weight grads psummed
+    by the shard_map transpose). Forced on for CPU interpret mode via
+    SVT_FORCE_FUSED; trajectory must match the single-device fused run."""
+    monkeypatch.setenv("SVT_FORCE_FUSED", "1")
+    d_np, l_np = data
+    exp = tiny_exp()
+
+    t0 = Trainer(exp)
+    assert t0._use_fused_train()
+    s0 = t0.init_state(d_np[:1])
+    s0, m0 = t0.train_epoch(s0, jnp.asarray(d_np), jnp.asarray(l_np))
+    ev0, _ = t0.evaluate(s0, jnp.asarray(d_np), jnp.asarray(l_np))
+
+    mesh = make_mesh(8, 1, 1)
+    t1 = Trainer(exp, mesh=mesh)
+    assert t1._use_fused_train()
+    s1 = t1.init_state(d_np[:1])
+    with mesh:
+        s1 = s1.replace(params=shard_params(s1.params, mesh))
+        d = shard_batch(jnp.asarray(d_np), mesh)
+        l = shard_batch(jnp.asarray(l_np), mesh)
+        s1, m1 = t1.train_epoch(s1, d, l)
+        ev1, _ = t1.evaluate(s1, d, l)
+
+    assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
+    assert abs(ev0.mae - ev1.mae) < 1e-4, (ev0.mae, ev1.mae)
+    p0 = jax.tree.leaves(s0.params)
+    p1 = jax.tree.leaves(jax.device_get(s1.params))
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_fused_under_fsdp_mesh_falls_back(data, monkeypatch):
+    """FSDP/TP meshes shard params, so the fused shard_map (P() replicated
+    param specs) does not apply — the trainer must take the modular path and
+    still match single-device."""
+    monkeypatch.setenv("SVT_FORCE_FUSED", "1")
+    d_np, l_np = data
+    exp = tiny_exp()
+    mesh = make_mesh(2, 2, 2)
+    t1 = Trainer(exp, mesh=mesh)
+    assert not t1._use_fused_train()  # not pure DP
+
+    monkeypatch.delenv("SVT_FORCE_FUSED")
+    t0 = Trainer(exp)  # single-device MODULAR baseline
+    s0 = t0.init_state(d_np[:1])
+    s0, m0 = t0.train_epoch(s0, jnp.asarray(d_np), jnp.asarray(l_np))
+
+    s1 = t1.init_state(d_np[:1])
+    with mesh:
+        s1 = s1.replace(params=shard_params(s1.params, mesh))
+        d = shard_batch(jnp.asarray(d_np), mesh)
+        l = shard_batch(jnp.asarray(l_np), mesh)
+        s1, m1 = t1.train_epoch(s1, d, l)
+    assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
