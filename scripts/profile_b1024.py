@@ -8,8 +8,6 @@ to find where B=1024 loses ~5%/surface vs B=256 and whether fixed-size
 microbatching recovers it.
 """
 
-import time
-
 import jax
 import jax.numpy as jnp
 
@@ -23,21 +21,7 @@ from surface_vision_transformers_tpu.models.fused import fused_forward
 from surface_vision_transformers_tpu.ops import fused_patch_embed
 
 
-def timed_scan(fn, args, iters=11):
-    def make(k):
-        @jax.jit
-        def loop(*a):
-            def body(acc, i):
-                return acc + fn(*a, i), None
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(k))
-            return acc
-        return loop
-
-    l1, ln = make(1), make(iters)
-    float(l1(*args)); float(ln(*args))
-    t = time.perf_counter(); float(l1(*args)); t1 = time.perf_counter() - t
-    t = time.perf_counter(); float(ln(*args)); tn = time.perf_counter() - t
-    return max((tn - t1) / (iters - 1), 1e-9)
+from bench import timed_scan  # single timing methodology (bench.py docstring)
 
 
 def main():
@@ -59,12 +43,15 @@ def main():
             ).mean().astype(jnp.float32)
 
         def full(pp, xx, i):
+            # microbatch=None: measure the WHOLE-batch path (fused_forward
+            # now defaults to 256-sample tiles, which is the micro column)
             return fused_forward(
-                model, pp, xx + i.astype(jnp.bfloat16) * jnp.bfloat16(2**-7)
+                model, pp, xx + i.astype(jnp.bfloat16) * jnp.bfloat16(2**-7),
+                microbatch=None,
             ).mean().astype(jnp.float32)
 
-        dt_pe = timed_scan(pe, (p, x))
-        dt_full = timed_scan(full, (params, x))
+        dt_pe = timed_scan(pe, (p, x), iters=11)
+        dt_full = timed_scan(full, (params, x), iters=11)
         line = (f"B={bs}: patch_embed {dt_pe*1e3:7.3f} ms  "
                 f"full {dt_full*1e3:7.3f} ms  "
                 f"({bs/dt_full:8.1f} surf/s)")
@@ -78,7 +65,7 @@ def main():
                 outs = jax.lax.map(lambda c: fused_forward(model, pp, c), xr)
                 return outs.mean().astype(jnp.float32)
 
-            dt_micro = timed_scan(micro, (params, x))
+            dt_micro = timed_scan(micro, (params, x), iters=11)
             line += (f"  micro256 {dt_micro*1e3:7.3f} ms "
                      f"({bs/dt_micro:8.1f} surf/s)")
         print(line)

@@ -7,8 +7,6 @@ Measures:
   C. full model microbatched (lax.map over fused_forward) at chunk 128
 """
 
-import time
-
 import jax
 import jax.numpy as jnp
 
@@ -22,21 +20,7 @@ from surface_vision_transformers_tpu.models.fused import fused_forward
 from surface_vision_transformers_tpu.ops import fused_patch_embed
 
 
-def timed_scan(fn, args, iters=11):
-    def make(k):
-        @jax.jit
-        def loop(*a):
-            def body(acc, i):
-                return acc + fn(*a, i), None
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(k))
-            return acc
-        return loop
-
-    l1, ln = make(1), make(iters)
-    float(l1(*args)); float(ln(*args))
-    t = time.perf_counter(); float(l1(*args)); t1 = time.perf_counter() - t
-    t = time.perf_counter(); float(ln(*args)); tn = time.perf_counter() - t
-    return max((tn - t1) / (iters - 1), 1e-9)
+from bench import timed_scan  # single timing methodology (bench.py docstring)
 
 
 def main():
@@ -58,7 +42,7 @@ def main():
                 pp["patch_embedding_bias"], compute_dtype=jnp.bfloat16,
             ).mean().astype(jnp.float32)
 
-        dt = timed_scan(pe, (p, x))
+        dt = timed_scan(pe, (p, x), iters=11)
         print(f"A pe-only B={bs}: {dt*1e3:7.3f} ms  "
               f"({dt*1e6/bs:5.2f} us/surface)")
 
@@ -112,7 +96,7 @@ def main():
                 "bias"].astype(jnp.float32)
             return out.mean().astype(jnp.float32)
 
-        dt = timed_scan(full_chunked_pe, (params, x))
+        dt = timed_scan(full_chunked_pe, (params, x), iters=11)
         print(f"B full, gather-chunk={chunk}, B=1024: {dt*1e3:7.3f} ms "
               f"({bs/dt:8.1f} surf/s)")
 
@@ -126,7 +110,7 @@ def main():
             outs = jax.lax.map(lambda c: fused_forward(model, pp, c), xr)
             return outs.mean().astype(jnp.float32)
 
-        dt = timed_scan(micro, (params, x))
+        dt = timed_scan(micro, (params, x), iters=11)
         print(f"C micro{chunk} B=1024: {dt*1e3:7.3f} ms ({bs/dt:8.1f} surf/s)")
 
 

@@ -22,21 +22,7 @@ from surface_vision_transformers_tpu.train import Trainer
 from surface_vision_transformers_tpu.utils.config import from_dict
 
 
-def timed_scan(fn, args, iters=11):
-    def make(k):
-        @jax.jit
-        def loop(*a):
-            def body(acc, i):
-                return acc + fn(*a, i), None
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(k))
-            return acc
-        return loop
-
-    l1, ln = make(1), make(iters)
-    float(l1(*args)); float(ln(*args))
-    t = time.perf_counter(); float(l1(*args)); t1 = time.perf_counter() - t
-    t = time.perf_counter(); float(ln(*args)); tn = time.perf_counter() - t
-    return max((tn - t1) / (iters - 1), 1e-9)
+from bench import timed_scan  # single timing methodology (bench.py docstring)
 
 
 def main():
@@ -47,8 +33,10 @@ def main():
 
     # 1. whole-dataset permutation gather
     def permute(d, i):
+        # reduce over ALL outputs — a single-element demand would let XLA
+        # shrink the gather to one row and under-measure it
         perm = jax.random.permutation(jax.random.fold_in(key, i), n)
-        return jnp.take(d, perm, axis=0).astype(jnp.float32).ravel()[0]
+        return jnp.take(d, perm, axis=0).astype(jnp.float32).mean()
 
     dt = timed_scan(permute, (data,), iters=5)
     gb = data.size * 2 * 2 / 1e9

@@ -25,12 +25,22 @@ from surface_vision_transformers_tpu.ops.pallas.fused_block import fused_block
 
 
 
+def _batch_axes(mesh) -> tuple:
+    """The mesh's batch axes, by the framework's naming convention."""
+    return tuple(a for a in ("data", "fsdp") if a in dict(mesh.shape))
+
+
 def _pure_dp(mesh) -> bool:
-    """Only the 'data' axis is nontrivial — params replicated, batch sharded;
-    the preconditions for shard_mapping a megakernel with P() param specs."""
+    """Only the 'data' batch axis is nontrivial — params replicated, batch
+    sharded; the preconditions for shard_mapping a megakernel with P() param
+    specs. Meshes using other axis names are rejected (the specs below bind
+    'data'/'fsdp' literally)."""
     if mesh is None or mesh.size == 1:
         return False
-    return all(v == 1 for k, v in dict(mesh.shape).items() if k != "data")
+    shape = dict(mesh.shape)
+    if "data" not in shape:
+        return False
+    return all(v == 1 for k, v in shape.items() if k != "data")
 
 
 def _dp_shard_map(fn, mesh, variables, x):
@@ -41,8 +51,9 @@ def _dp_shard_map(fn, mesh, variables, x):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    spec_x = P(("data", "fsdp"), *([None] * (x.ndim - 1)))
-    spec_o = P(("data", "fsdp"), None)
+    axes = _batch_axes(mesh)
+    spec_x = P(axes, *([None] * (x.ndim - 1)))
+    spec_o = P(axes, None)
     return shard_map(
         fn, mesh=mesh, in_specs=(P(), spec_x), out_specs=spec_o,
         check_vma=False,

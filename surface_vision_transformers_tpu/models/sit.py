@@ -32,6 +32,7 @@ from surface_vision_transformers_tpu.ops import (
     multi_head_attention,
     rearrange_patched,
 )
+from surface_vision_transformers_tpu.ops.patchify import _GATHER_CHUNK
 
 Dtype = Any
 
@@ -90,7 +91,7 @@ class Attention(nn.Module):
         if self.batch_mesh is None:
             return False
         shape = dict(self.batch_mesh.shape)
-        if shape.get("model", 1) != 1:
+        if shape.get("model", 1) != 1 or "data" not in shape:
             return False
         nb = shape.get("data", 1) * shape.get("fsdp", 1)
         return B % nb == 0
@@ -100,7 +101,10 @@ class Attention(nn.Module):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        spec = P(("data", "fsdp"), None, None)
+        axes = tuple(
+            a for a in ("data", "fsdp") if a in dict(self.batch_mesh.shape)
+        )
+        spec = P(axes, None, None)
         return shard_map(
             fn, mesh=self.batch_mesh, in_specs=(spec,), out_specs=spec,
             check_vma=False,
@@ -193,7 +197,7 @@ class Attention(nn.Module):
 
         out = None
         if (
-            self.dropout > 0.0
+            0.0 < self.dropout < 1.0
             and not deterministic
             and self.seq_shard_axis is None
             and self._use_packed_kernel(N)
@@ -604,6 +608,13 @@ class SiT(nn.Module):
                     else self.patch_backend
                 ),
                 compute_dtype=self.dtype,
+                # chunk the superlinear gather only when nothing is sharded
+                # (the (B,...)->(B/chunk,chunk,...) reshape fights GSPMD)
+                gather_chunk=(
+                    None
+                    if (self.batch_mesh is not None or self.seq_shard_axis)
+                    else _GATHER_CHUNK
+                ),
             )
         elif x.ndim == 4:
             t = rearrange_patched(x).astype(self.dtype)

@@ -64,6 +64,21 @@ def _softmax_rows(s, fast: bool):
     return p, l
 
 
+
+def _auto_group(dim: int, bwd: bool = False) -> int:
+    """Measured flattened-group defaults (v5e, scripts/exp_group_by_shape.py):
+    fwd ms/block at B=256, N=328 —
+      dim 192 (tiny):  G=2 0.947, G=4 0.937, G=8 0.899  -> 8
+      dim 384 (small): G=2 2.255, G=4 2.483, G=8 2.542  -> 2
+      dim 768 (base):  G=2 8.659, G=4 8.123, G=8 7.779  -> 8
+    backward (dim 192): G=1 3.43, G=2 2.30, G=4 1.66, G=8 3.32 -> 4; larger
+    dims cap at 2 (the per-(sample, head) cached (Np, Np) fp32 prob tiles
+    scale with G*heads and spill VMEM)."""
+    if bwd:
+        return 4 if dim <= 256 else 2
+    return 2 if 256 < dim <= 512 else 8
+
+
 def _block_kernel(
     x_ref,
     ln1_s_ref, ln1_b_ref, wqkv_ref,
@@ -74,6 +89,7 @@ def _block_kernel(
     *, heads, dim_head, valid_len, group, ln_eps, fast_softmax,
 ):
     np_ = x_ref.shape[1]
+    dim = x_ref.shape[2]
     hd = heads * dim_head
     scale = dim_head ** -0.5
     col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
@@ -82,19 +98,25 @@ def _block_kernel(
     ln2_s = ln2_s_ref[0].astype(jnp.float32)
     ln2_b = ln2_b_ref[0].astype(jnp.float32)
 
-    for g in range(group):
-        x = x_ref[g]  # (Np, dim) bf16
-        h = _layer_norm(x, ln1_s, ln1_b, ln_eps).astype(x.dtype)
-        qkv = jax.lax.dot_general(
-            h, wqkv_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)  # (Np, 3*hd), [q|k|v] lanes
+    # FLATTEN the G samples into the GEMM M dimension: LN/QKV/out-proj/MLP
+    # (~75% of block FLOPs) run once at M = G*Np instead of G times at
+    # M = Np — bit-identical, measured 0.98 -> 0.90 ms/block at G=8 on
+    # SiT-tiny B=256 (v5e). Only attention stays per sample.
+    x = x_ref[...].reshape(group * np_, dim)
+    h = _layer_norm(x, ln1_s, ln1_b, ln_eps).astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # (G*Np, 3*hd), [q|k|v] lanes
 
+    attn_rows = []
+    for g in range(group):
+        qkv_g = qkv[g * np_:(g + 1) * np_]
         outs = []
         for hh in range(heads):
-            q = qkv[:, hh * dim_head:(hh + 1) * dim_head]
-            k = qkv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
-            v = qkv[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
+            q = qkv_g[:, hh * dim_head:(hh + 1) * dim_head]
+            k = qkv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            v = qkv_g[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -106,39 +128,42 @@ def _block_kernel(
                 preferred_element_type=jnp.float32,
             )
             outs.append((o / l).astype(x.dtype))
-        attn = jnp.concatenate(outs, axis=-1)  # (Np, hd)
-        attn = (
-            jax.lax.dot_general(
-                attn, wout_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bout_ref[0].astype(jnp.float32)
+        attn_rows.append(jnp.concatenate(outs, axis=-1))
+    attn = jnp.concatenate(attn_rows, axis=0)  # (G*Np, hd)
+    attn = (
+        jax.lax.dot_general(
+            attn, wout_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        x1 = (x.astype(jnp.float32) + attn).astype(x.dtype)
+        + bout_ref[0].astype(jnp.float32)
+    )
+    x1 = (x.astype(jnp.float32) + attn).astype(x.dtype)
 
-        h2 = _layer_norm(x1, ln2_s, ln2_b, ln_eps).astype(x.dtype)
-        f = (
-            jax.lax.dot_general(
-                h2, wfc1_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bfc1_ref[0].astype(jnp.float32)
+    h2 = _layer_norm(x1, ln2_s, ln2_b, ln_eps).astype(x.dtype)
+    f = (
+        jax.lax.dot_general(
+            h2, wfc1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        # tanh-approx GELU in fp32: this Mosaic lowers neither erf nor erfc;
-        # the tanh form deviates from exact-erf GELU by < 3e-4 absolute,
-        # below bf16 resolution (~8e-3), so bf16 outputs are unchanged
-        c = 0.7978845608028654  # sqrt(2/pi)
-        f = (0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f * f * f)))).astype(
-            x.dtype
+        + bfc1_ref[0].astype(jnp.float32)
+    )
+    # tanh-approx GELU in fp32: this Mosaic lowers neither erf nor erfc;
+    # the tanh form deviates from exact-erf GELU by < 3e-4 absolute,
+    # below bf16 resolution (~8e-3), so bf16 outputs are unchanged
+    c = 0.7978845608028654  # sqrt(2/pi)
+    f = (0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f * f * f)))).astype(
+        x.dtype
+    )
+    f = (
+        jax.lax.dot_general(
+            f, wfc2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        f = (
-            jax.lax.dot_general(
-                f, wfc2_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bfc2_ref[0].astype(jnp.float32)
-        )
-        o_ref[g] = (x1.astype(jnp.float32) + f).astype(o_ref.dtype)
+        + bfc2_ref[0].astype(jnp.float32)
+    )
+    o_ref[...] = (x1.astype(jnp.float32) + f).astype(o_ref.dtype).reshape(
+        group, np_, dim
+    )
 
 
 def fused_block(
@@ -152,17 +177,20 @@ def fused_block(
     dim_head: int,
     valid_len: int | None = None,
     ln_eps: float = 1e-5,  # torch nn.LayerNorm default (reference parity)
-    group: int = 2,
+    group: int | None = None,
     fast_softmax: bool = True,
 ) -> jax.Array:
     """One transformer block. x: (B, N, dim), N % 8 == 0. Weights in flax
     layout (kernels (in, out)). No autodiff — use ``fused_block_train`` for
-    the VJP-carrying variant."""
+    the VJP-carrying variant. ``group`` samples flatten into one GEMM per
+    program (None -> measured per-dim default, see _auto_group)."""
     B, N, dim = x.shape
     if N % 8 != 0:
         raise NotImplementedError("fused_block requires N % 8 == 0")
     vl = N if valid_len is None else int(valid_len)
-    G = group if B % group == 0 else 1
+    G = group or _auto_group(dim)
+    while G > 1 and B % G:
+        G //= 2
 
     def vec(v):  # 1-D params as (1, dim) VMEM rows
         return v.reshape(1, -1)
@@ -257,6 +285,7 @@ def _block_bwd_kernel(
 ):
     first = pl.program_id(0) == 0
     np_ = x_ref.shape[1]
+    dim = x_ref.shape[2]
     hd = heads * dim_head
     scale = dim_head ** -0.5
     col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
@@ -267,24 +296,28 @@ def _block_bwd_kernel(
     ln2_s = ln2_s_ref[0].astype(jnp.float32)
     ln2_b = ln2_b_ref[0].astype(jnp.float32)
 
-    acc = None
+    # FLATTENED over the G samples (see _block_kernel): every GEMM —
+    # recompute QKV/out-proj/MLP and ALL weight-gradient contractions —
+    # runs once at M = G*Np; attention (and its grads) stay per sample.
+    # Weight grads come out already summed over the G samples.
+    x = x_ref[...].reshape(group * np_, dim)
+    g = g_ref[...].reshape(group * np_, dim).astype(jnp.float32)
+
+    # ---- forward recompute: attention branch to x1 ----
+    # the normalized probabilities are cached per (sample, head) and reused
+    # by the gradient loop below — the scores GEMM and softmax run ONCE
+    h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
+    h1 = h1f.astype(x.dtype)
+    qkv = _mm(h1, wqkv_ref[:]).astype(x.dtype)  # (G*Np, 3*hd)
+
+    att_rows, pn_parts, ok_parts = [], [], []
     for g_i in range(group):
-        x = x_ref[g_i]  # (Np, dim) bf16
-        g = g_ref[g_i].astype(jnp.float32)
-
-        # ---- forward recompute: attention branch to x1 ----
-        # the normalized probabilities are cached per head and reused by the
-        # gradient loop below — the scores GEMM and softmax run ONCE, not
-        # twice (measured -0.6 ms/block on SiT-tiny B=256)
-        h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
-        h1 = h1f.astype(x.dtype)
-        qkv = _mm(h1, wqkv_ref[:]).astype(x.dtype)  # (Np, 3*hd)
-
-        att_parts, pn_parts, ok_parts = [], [], []
+        qkv_g = qkv[g_i * np_:(g_i + 1) * np_]
+        att_parts = []
         for hh in range(heads):
-            q = qkv[:, hh * dim_head:(hh + 1) * dim_head]
-            k = qkv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
-            v = qkv[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
+            q = qkv_g[:, hh * dim_head:(hh + 1) * dim_head]
+            k = qkv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            v = qkv_g[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
             s = _mm(q, k, ((1,), (1,))) * scale
             s = jnp.where(col < valid_len, s, _NEG_INF)
             p, l = _softmax_rows(s, fast_softmax)
@@ -293,66 +326,71 @@ def _block_bwd_kernel(
             # where the overflow clamp binds, d(exp(min(s,C)))/ds = 0
             ok_parts.append((s <= _CLAMP) if fast_softmax else None)
             att_parts.append(_mm(pn.astype(v.dtype), v).astype(x.dtype))
-        a = jnp.concatenate(att_parts, axis=-1)  # (Np, hd) bf16
-        o1 = _mm(a, wout_ref[:]) + bout_ref[0].astype(jnp.float32)
-        x1 = (x.astype(jnp.float32) + o1).astype(x.dtype)
+        att_rows.append(jnp.concatenate(att_parts, axis=-1))
+    a = jnp.concatenate(att_rows, axis=0)  # (G*Np, hd) bf16
+    o1 = _mm(a, wout_ref[:]) + bout_ref[0].astype(jnp.float32)
+    x1 = (x.astype(jnp.float32) + o1).astype(x.dtype)
 
-        # ---- MLP branch: forward recompute + backward ----
-        h2f, n2, rstd2 = _ln_fwd_cache(x1, ln2_s, ln2_b, ln_eps)
-        h2 = h2f.astype(x.dtype)
-        f1 = _mm(h2, wfc1_ref[:]) + bfc1_ref[0].astype(jnp.float32)
-        gl, dgl_df1 = _gelu_tanh_and_grad(f1)
-        glb = gl.astype(x.dtype)
-        gb = g.astype(x.dtype)
+    # ---- MLP branch: forward recompute + backward ----
+    h2f, n2, rstd2 = _ln_fwd_cache(x1, ln2_s, ln2_b, ln_eps)
+    h2 = h2f.astype(x.dtype)
+    f1 = _mm(h2, wfc1_ref[:]) + bfc1_ref[0].astype(jnp.float32)
+    gl, dgl_df1 = _gelu_tanh_and_grad(f1)
+    glb = gl.astype(x.dtype)
+    gb = g.astype(x.dtype)
 
-        dwfc2 = _mm(glb, gb, ((0,), (0,)))  # (mlp, dim)
-        dbfc2 = jnp.sum(g, axis=0, keepdims=True)
-        dgl = _mm(gb, wfc2_ref[:], ((1,), (1,)))  # (Np, mlp) f32
-        df1 = dgl * dgl_df1
-        df1b = df1.astype(x.dtype)
-        dwfc1 = _mm(h2, df1b, ((0,), (0,)))  # (dim, mlp)
-        dbfc1 = jnp.sum(df1, axis=0, keepdims=True)
-        dh2 = _mm(df1b, wfc1_ref[:], ((1,), (1,)))  # (Np, dim) f32
-        dx1_ln, dln2_s, dln2_b = _ln_bwd(dh2, n2, rstd2, ln2_s)
-        dx1 = g + dx1_ln  # (Np, dim) f32
+    dwfc2 = _mm(glb, gb, ((0,), (0,)))  # (mlp, dim)
+    dbfc2 = jnp.sum(g, axis=0, keepdims=True)
+    dgl = _mm(gb, wfc2_ref[:], ((1,), (1,)))  # (G*Np, mlp) f32
+    df1 = dgl * dgl_df1
+    df1b = df1.astype(x.dtype)
+    dwfc1 = _mm(h2, df1b, ((0,), (0,)))  # (dim, mlp)
+    dbfc1 = jnp.sum(df1, axis=0, keepdims=True)
+    dh2 = _mm(df1b, wfc1_ref[:], ((1,), (1,)))  # (G*Np, dim) f32
+    dx1_ln, dln2_s, dln2_b = _ln_bwd(dh2, n2, rstd2, ln2_s)
+    dx1 = g + dx1_ln  # (G*Np, dim) f32
 
-        # ---- attention branch backward ----
-        dx1b = dx1.astype(x.dtype)
-        dbout = jnp.sum(dx1, axis=0, keepdims=True)
-        dwout = _mm(a, dx1b, ((0,), (0,)))  # (hd, dim)
-        da = _mm(dx1b, wout_ref[:], ((1,), (1,))).astype(x.dtype)  # (Np, hd)
+    # ---- attention branch backward ----
+    dx1b = dx1.astype(x.dtype)
+    dbout = jnp.sum(dx1, axis=0, keepdims=True)
+    dwout = _mm(a, dx1b, ((0,), (0,)))  # (hd, dim)
+    da = _mm(dx1b, wout_ref[:], ((1,), (1,))).astype(x.dtype)  # (G*Np, hd)
 
+    dqkv_rows = []
+    for g_i in range(group):
+        qkv_g = qkv[g_i * np_:(g_i + 1) * np_]
+        da_g = da[g_i * np_:(g_i + 1) * np_]
         dq_parts, dk_parts, dv_parts = [], [], []
         for hh in range(heads):
-            q = qkv[:, hh * dim_head:(hh + 1) * dim_head]
-            k = qkv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
-            v = qkv[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
-            da_h = da[:, hh * dim_head:(hh + 1) * dim_head]
+            q = qkv_g[:, hh * dim_head:(hh + 1) * dim_head]
+            k = qkv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            v = qkv_g[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
+            da_h = da_g[:, hh * dim_head:(hh + 1) * dim_head]
             # cached from the recompute loop; zero padding ROWS so their
             # cotangents don't leak into the weight grads
-            p = jnp.where(row < valid_len, pn_parts[hh], 0.0)
+            p = jnp.where(row < valid_len, pn_parts[g_i * heads + hh], 0.0)
             pb = p.astype(x.dtype)
             dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
             dp = _mm(da_h, v, ((1,), (1,)))  # (Np, Np) f32
             delta = jnp.sum(p * dp, axis=-1, keepdims=True)
             ds = p * (dp - delta) * scale
-            if ok_parts[hh] is not None:
-                ds = jnp.where(ok_parts[hh], ds, 0.0)
+            if ok_parts[g_i * heads + hh] is not None:
+                ds = jnp.where(ok_parts[g_i * heads + hh], ds, 0.0)
             ds = ds.astype(x.dtype)
             dq_parts.append(_mm(ds, k).astype(x.dtype))
             dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))
-        dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
-
-        dwqkv = _mm(h1, dqkv, ((0,), (0,)))  # (dim, 3hd)
-        dh1 = _mm(dqkv, wqkv_ref[:], ((1,), (1,)))  # (Np, dim) f32
-        dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
-        dx_ref[g_i] = (dx1 + dx_ln).astype(dx_ref.dtype)
-
-        grads = (dln1_s, dln1_b, dwqkv, dwout, dbout,
-                 dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
-        acc = grads if acc is None else tuple(
-            a_ + b_ for a_, b_ in zip(acc, grads)
+        dqkv_rows.append(
+            jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
         )
+    dqkv = jnp.concatenate(dqkv_rows, axis=0)  # (G*Np, 3hd)
+
+    dwqkv = _mm(h1, dqkv, ((0,), (0,)))  # (dim, 3hd)
+    dh1 = _mm(dqkv, wqkv_ref[:], ((1,), (1,)))  # (G*Np, dim) f32
+    dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
+    dx_ref[...] = (dx1 + dx_ln).astype(dx_ref.dtype).reshape(group, np_, dim)
+
+    acc = (dln1_s, dln1_b, dwqkv, dwout, dbout,
+           dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
 
     # ---- weight-grad accumulation across the batch-tile grid ----
     out_refs = (dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
@@ -372,16 +410,19 @@ def _block_bwd_kernel(
 
 def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
                ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
-               *, heads, dim_head, valid_len, ln_eps, group: int = 1,
+               *, heads, dim_head, valid_len, ln_eps, group: int | None = None,
                fast_softmax: bool = True):
-    """Single-kernel block backward; ``group`` batches samples per program
-    (measured NEUTRAL at SiT-tiny shapes on v5e — G=2 2.67 vs G=1 2.61 ms —
-    so the train wrappers keep G=1; the knob exists for other model sizes
-    and is pinned by a parity test)."""
+    """Single-kernel block backward with the G samples FLATTENED into every
+    GEMM's M dimension (per-sample grouping was neutral; flattened grouping
+    is a real win — 2.61 -> 1.66 ms/block at G=4, SiT-tiny B=256 v5e). VMEM
+    grows with G (G*heads cached (Np, Np) fp32 prob tiles): G=8 spills and
+    regresses to 3.3 ms; None -> measured per-dim default (_auto_group)."""
     B, N, dim = x.shape
     mlp = w_fc1.shape[1]
     hd = heads * dim_head
-    G = group if B % group == 0 else 1
+    G = group or _auto_group(dim, bwd=True)
+    while G > 1 and B % G:
+        G //= 2
 
     def vec(v):
         return v.reshape(1, -1)

@@ -99,6 +99,11 @@ class Trainer:
             # GSPMD-partitionable einsum under TP) — a raw pallas_call on
             # sharded activations would be unpartitionable
             model_overrides = {"batch_mesh": mesh}
+        if model is not None and model_overrides:
+            # a user-supplied model must get the same mesh plumbing, or its
+            # attention would dispatch a raw pallas kernel on sharded
+            # activations (flax modules are frozen dataclasses -> clone)
+            model = model.clone(**model_overrides)
         self.model = model or SiT.from_config(
             exp, patch_table=patch_table, **model_overrides
         )

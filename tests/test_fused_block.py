@@ -251,7 +251,14 @@ def test_fused_forward_microbatch_identical(setup):
     x4 = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 40962))
     whole = fused_forward(model, params, x4, microbatch=None)
     tiled = fused_forward(model, params, x4, microbatch=2)
-    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
+    # the flattened block kernel folds the per-program sample group into the
+    # GEMM M dim, so tile size can reorder fp32 accumulation on CPU
+    # (bit-identical on TPU; measured in scripts/exp_flat_block.py)
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(whole), atol=1e-5
+    )
     # indivisible batch falls back to the whole-batch path
     odd = fused_forward(model, params, x4[:3], microbatch=2)
-    np.testing.assert_array_equal(np.asarray(odd), np.asarray(whole[:3]))
+    np.testing.assert_allclose(
+        np.asarray(odd), np.asarray(whole[:3]), atol=1e-5
+    )

@@ -428,3 +428,22 @@ def test_fused_under_fsdp_mesh_falls_back(data, monkeypatch):
         l = shard_batch(jnp.asarray(l_np), mesh)
         s1, m1 = t1.train_epoch(s1, d, l)
     assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
+
+
+def test_user_supplied_model_gets_mesh_plumbing(data):
+    """A user-supplied model (e.g. bench.py's) under a mesh must be cloned
+    with batch_mesh/seq_mesh so its attention never dispatches a raw pallas
+    kernel on sharded activations."""
+    from surface_vision_transformers_tpu.models import SiT
+
+    exp = tiny_exp()
+    mesh = make_mesh(8, 1, 1)
+    user_model = SiT(dim=64, depth=2, heads=2, dim_head=32, mlp_dim=128,
+                     num_patches=20, num_vertices=15, dtype=jnp.float32)
+    t = Trainer(exp, model=user_model, mesh=mesh)
+    assert t.model.batch_mesh is mesh
+
+    raw = {**exp.raw, "tpu": {"compute_dtype": "float32",
+                              "seq_sharding": True}}
+    t2 = Trainer(from_dict(raw), model=user_model, mesh=make_mesh(2, 1, 4))
+    assert t2.model.seq_mesh is not None
