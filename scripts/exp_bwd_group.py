@@ -1,6 +1,11 @@
 """Sweep the FLATTENED backward kernel's group size on the chip, plus a
 value_and_grad step time at the winning G."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,7 +14,7 @@ from surface_vision_transformers_tpu.utils.env import enable_compilation_cache
 
 enable_compilation_cache()
 
-from bench import timed_scan
+from bench import timed_scan  # single timing methodology (bench.py docstring)
 from surface_vision_transformers_tpu.ops.pallas.fused_block import (
     _block_bwd, fused_block,
 )

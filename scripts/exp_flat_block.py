@@ -6,6 +6,11 @@ the LN/QKV/projection/MLP stages (75% of block FLOPs at 4x the rows) and
 keeps only the attention per sample. Measures both + parity at several G.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import functools
 
 import jax
@@ -18,7 +23,7 @@ from surface_vision_transformers_tpu.utils.env import enable_compilation_cache
 
 enable_compilation_cache()
 
-from bench import timed_scan
+from bench import timed_scan  # single timing methodology (bench.py docstring)
 from surface_vision_transformers_tpu.ops.pallas.fused_block import (
     _layer_norm, _softmax_rows, fused_block,
 )

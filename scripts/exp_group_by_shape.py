@@ -1,6 +1,11 @@
 """Per-shape sweep of the flattened block group size: SiT-small regressed
 under the G=8 default while tiny/base improved — find the right G rule."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import jax
 import jax.numpy as jnp
 
@@ -8,7 +13,7 @@ from surface_vision_transformers_tpu.utils.env import enable_compilation_cache
 
 enable_compilation_cache()
 
-from bench import timed_scan
+from bench import timed_scan  # single timing methodology (bench.py docstring)
 from surface_vision_transformers_tpu.ops.pallas.fused_block import fused_block
 
 
@@ -16,7 +21,8 @@ def main():
     key = jax.random.PRNGKey(0)
     B = 256
     for name, dim, heads, N in (
-        ("base", 768, 12, 328),
+        ("tiny", 192, 3, 328), ("small", 384, 6, 328), ("base", 768, 12, 328),
+        ("tiny-sub1", 192, 3, 88),
     ):
         dh, mlp, hd = 64, 4 * dim, heads * 64
         ks = jax.random.split(key, 6)
@@ -33,7 +39,6 @@ def main():
             jnp.zeros((dim,), jnp.float32),
         )
         vl = N - 7
-        line = f"{name:10s} (dim={dim} h={heads} N={N}):"
         for G in (2, 4, 8):
             def run(xx, i, G=G):
                 h = xx + i.astype(jnp.bfloat16) * jnp.bfloat16(2**-7)

@@ -8,6 +8,11 @@ to find where B=1024 loses ~5%/surface vs B=256 and whether fixed-size
 microbatching recovers it.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import jax
 import jax.numpy as jnp
 

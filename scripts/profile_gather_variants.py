@@ -7,6 +7,11 @@ Measures:
   C. full model microbatched (lax.map over fused_forward) at chunk 128
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import jax
 import jax.numpy as jnp
 

@@ -5,6 +5,11 @@ scalar fetch) — through this relay, block_until_ready returns before
 execution, so naive per-call timing lies (docs/design.md §4).
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import time
 
 import jax
@@ -34,9 +39,11 @@ def main():
     # 1. whole-dataset permutation gather
     def permute(d, i):
         # reduce over ALL outputs — a single-element demand would let XLA
-        # shrink the gather to one row and under-measure it
+        # shrink the gather to one row and under-measure it. Accumulate the
+        # sum in fp32 WITHOUT an astype (the materialized 5.4 GB f32 cast
+        # never finished compiling on the remote-compile relay).
         perm = jax.random.permutation(jax.random.fold_in(key, i), n)
-        return jnp.take(d, perm, axis=0).astype(jnp.float32).mean()
+        return jnp.take(d, perm, axis=0).sum(dtype=jnp.float32) * 1e-9
 
     dt = timed_scan(permute, (data,), iters=5)
     gb = data.size * 2 * 2 / 1e9

@@ -26,8 +26,9 @@ from surface_vision_transformers_tpu.ops.pallas.fused_block import fused_block
 
 
 def _batch_axes(mesh) -> tuple:
-    """The mesh's batch axes, by the framework's naming convention."""
-    return tuple(a for a in ("data", "fsdp") if a in dict(mesh.shape))
+    from surface_vision_transformers_tpu.parallel import batch_axes
+
+    return batch_axes(mesh)
 
 
 def _pure_dp(mesh) -> bool:

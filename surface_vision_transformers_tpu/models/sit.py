@@ -101,10 +101,9 @@ class Attention(nn.Module):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        axes = tuple(
-            a for a in ("data", "fsdp") if a in dict(self.batch_mesh.shape)
-        )
-        spec = P(axes, None, None)
+        from surface_vision_transformers_tpu.parallel import batch_axes
+
+        spec = P(batch_axes(self.batch_mesh), None, None)
         return shard_map(
             fn, mesh=self.batch_mesh, in_specs=(spec,), out_specs=spec,
             check_vma=False,

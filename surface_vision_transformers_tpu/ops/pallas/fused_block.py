@@ -65,6 +65,14 @@ def _softmax_rows(s, fast: bool):
 
 
 
+# flattened-group VMEM working-set budget, calibrated so every MEASURED
+# optimum stays untouched (SiT-base fwd G=8 estimates ~68M and is the
+# fastest) while unmeasured larger shapes (e.g. dim 1024, mlp 4096: ~91M at
+# G=8 against the 96M hard vmem_limit_bytes) clamp down instead of failing
+# to compile
+_GROUP_VMEM_BUDGET = 72 * 1024 * 1024
+
+
 def _auto_group(dim: int, bwd: bool = False) -> int:
     """Measured flattened-group defaults (v5e, scripts/exp_group_by_shape.py):
     fwd ms/block at B=256, N=328 —
@@ -73,10 +81,26 @@ def _auto_group(dim: int, bwd: bool = False) -> int:
       dim 768 (base):  G=2 8.659, G=4 8.123, G=8 7.779  -> 8
     backward (dim 192): G=1 3.43, G=2 2.30, G=4 1.66, G=8 3.32 -> 4; larger
     dims cap at 2 (the per-(sample, head) cached (Np, Np) fp32 prob tiles
-    scale with G*heads and spill VMEM)."""
+    scale with G*heads and spill VMEM). The result is additionally clamped
+    by a VMEM working-set estimate (_clamp_group) for shapes beyond the
+    measured set."""
     if bwd:
         return 4 if dim <= 256 else 2
     return 2 if 256 < dim <= 512 else 8
+
+
+def _clamp_group(G: int, N: int, dim: int, mlp: int, hd3: int,
+                 heads: int = 0, bwd: bool = False) -> int:
+    """Halve G until the estimated per-program working set fits the budget.
+    Forward: the fp32 (G*N, mlp) MLP intermediate dominates, plus the
+    x/h/qkv/x1/h2 tiles. Backward adds the cached per-(sample, head)
+    (N, N) fp32 probability tiles and the fp32 gradient tiles."""
+    per = N * (mlp * 4 + hd3 * 2 + dim * 12)
+    if bwd:
+        per += heads * N * N * 8 + N * (mlp * 4 + dim * 12)
+    while G > 1 and G * per > _GROUP_VMEM_BUDGET:
+        G //= 2
+    return G
 
 
 def _block_kernel(
@@ -188,7 +212,9 @@ def fused_block(
     if N % 8 != 0:
         raise NotImplementedError("fused_block requires N % 8 == 0")
     vl = N if valid_len is None else int(valid_len)
-    G = group or _auto_group(dim)
+    G = group or _clamp_group(
+        _auto_group(dim), N, dim, w_fc1.shape[1], w_qkv.shape[1]
+    )
     while G > 1 and B % G:
         G //= 2
 
@@ -420,7 +446,10 @@ def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     B, N, dim = x.shape
     mlp = w_fc1.shape[1]
     hd = heads * dim_head
-    G = group or _auto_group(dim, bwd=True)
+    G = group or _clamp_group(
+        _auto_group(dim, bwd=True), N, dim, mlp, 3 * hd, heads=heads,
+        bwd=True,
+    )
     while G > 1 and B % G:
         G //= 2
 

@@ -9,6 +9,7 @@ from surface_vision_transformers_tpu.parallel.mesh import (
     shard_batch,
     shard_params,
     shard_state,
+    batch_axes,
     state_shardings,
 )
 from surface_vision_transformers_tpu.parallel.multihost import (
@@ -27,6 +28,7 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "shard_state",
+    "batch_axes",
     "state_shardings",
     "initialize_multihost",
     "local_batch_to_global",

@@ -25,6 +25,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXES = ("data", "fsdp", "model")
 
 
+
+def batch_axes(mesh) -> tuple:
+    """The mesh's batch axes, by the framework's ('data', 'fsdp') naming
+    convention — the single source for every batch-sharding PartitionSpec."""
+    return tuple(a for a in ("data", "fsdp") if a in dict(mesh.shape))
+
+
 def make_mesh(
     data: int = -1, fsdp: int = 1, model: int = 1, devices=None
 ) -> Mesh:

@@ -92,7 +92,9 @@ class Trainer:
         self.augment = augment  # callable(key, batch) -> batch, train-only
         model_overrides = {}
         if mesh is not None and getattr(exp.tpu, "seq_sharding", False):
-            model_overrides = {"seq_mesh": mesh}
+            # both fields: a user-supplied model built without seq_sharding
+            # has seq_shard_axis=None, and seq_mesh alone is inert
+            model_overrides = {"seq_mesh": mesh, "seq_shard_axis": "model"}
         elif mesh is not None and mesh.size > 1:
             # DP/FSDP/TP without sequence sharding: attention shard_maps the
             # packed kernel over the batch axes (or falls back to the

@@ -244,9 +244,11 @@ def test_fused_mpp_loss_matches_modular():
                                atol=2e-2)
 
 
-def test_fused_forward_microbatch_identical(setup):
+def test_fused_forward_microbatch_equivalent(setup):
     """Large serving batches run as lax.map over _INFER_MICROBATCH tiles;
-    output must be IDENTICAL to the unbatched forward."""
+    outputs agree to fp32 accumulation-order tolerance (bit-identical on
+    TPU per scripts/exp_flat_block.py; on CPU the flattened block kernel's
+    GEMM M depends on the tile size, which reorders fp32 accumulation)."""
     model, params, _ = setup
     x4 = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 40962))
     whole = fused_forward(model, params, x4, microbatch=None)

@@ -430,10 +430,11 @@ def test_fused_under_fsdp_mesh_falls_back(data, monkeypatch):
     assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
 
 
-def test_user_supplied_model_gets_mesh_plumbing(data):
+def test_user_supplied_model_gets_mesh_plumbing():
     """A user-supplied model (e.g. bench.py's) under a mesh must be cloned
-    with batch_mesh/seq_mesh so its attention never dispatches a raw pallas
-    kernel on sharded activations."""
+    with batch_mesh (or seq_mesh AND seq_shard_axis — the mesh alone is
+    inert) so its attention never dispatches a raw pallas kernel on sharded
+    activations."""
     from surface_vision_transformers_tpu.models import SiT
 
     exp = tiny_exp()
@@ -447,3 +448,4 @@ def test_user_supplied_model_gets_mesh_plumbing(data):
                               "seq_sharding": True}}
     t2 = Trainer(from_dict(raw), model=user_model, mesh=make_mesh(2, 1, 4))
     assert t2.model.seq_mesh is not None
+    assert t2.model.seq_shard_axis == "model"
