@@ -449,3 +449,34 @@ def test_user_supplied_model_gets_mesh_plumbing():
     t2 = Trainer(from_dict(raw), model=user_model, mesh=make_mesh(2, 1, 4))
     assert t2.model.seq_mesh is not None
     assert t2.model.seq_shard_axis == "model"
+
+
+def test_run_testing_pure_dp_fused(data, tmp_path, monkeypatch):
+    """The product eval entry point under a pure-DP mesh takes the
+    shard_mapped fused megakernel path (forced for CPU interpret) and
+    matches the meshless result."""
+    monkeypatch.setenv("SVT_FORCE_FUSED", "1")
+    from surface_vision_transformers_tpu.train import runner
+
+    d_np, l_np = data
+    datasets = {"validation": (d_np, l_np)}
+    raw = {
+        "resolution": {"ico": 2, "sub_ico": 0},
+        "transformer": {"dim": 64, "depth": 2, "heads": 2, "mlp_dim": 128,
+                        "dim_head": 32},
+        "training": {"LR": 1e-3, "bs": 16, "seed": 0},
+        "optimisation": {"optimiser": "Adam"},
+        "data": {"split": "validation"},
+        "logging": {"folder_to_save_model": str(tmp_path)},
+    }
+    base = runner.run_testing(
+        from_dict({**raw, "tpu": {"compute_dtype": "float32",
+                                  "mesh_data": 1}}),
+        datasets=datasets,
+    )
+    res = runner.run_testing(
+        from_dict({**raw, "tpu": {"compute_dtype": "float32",
+                                  "mesh_data": -1}}),
+        datasets=datasets,
+    )
+    assert abs(res["mae"] - base["mae"]) < 1e-4, (res, base)
