@@ -584,6 +584,7 @@ def _block_cls_kernel(
     *, heads, dim_head, valid_len, group, ln_eps, fast_softmax,
 ):
     np_ = x_ref.shape[1]
+    dim = x_ref.shape[2]
     rows = o_ref.shape[1]
     hd = heads * dim_head
     scale = dim_head ** -0.5
@@ -593,23 +594,32 @@ def _block_cls_kernel(
     ln2_s = ln2_s_ref[0].astype(jnp.float32)
     ln2_b = ln2_b_ref[0].astype(jnp.float32)
 
-    for g in range(group):
-        x = x_ref[g]
-        h = _layer_norm(x, ln1_s, ln1_b, ln_eps).astype(x.dtype)
-        kv = jax.lax.dot_general(
-            h, wkv_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)  # (N, 2*hd), [k|v] lanes
-        q_top = jax.lax.dot_general(
-            h[:rows], wq_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)  # (rows, hd)
+    # flattened over the G samples like _block_kernel: LN + the KV GEMM (the
+    # dominant cost here) run at M = G*Np; the 8-row Q/out-proj/MLP stages
+    # run at M = G*rows
+    x = x_ref[...].reshape(group * np_, dim)
+    h = _layer_norm(x, ln1_s, ln1_b, ln_eps).astype(x.dtype)
+    kv = jax.lax.dot_general(
+        h, wkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # (G*Np, 2*hd), [k|v] lanes
+    h_top = jnp.concatenate(
+        [h[g * np_:g * np_ + rows] for g in range(group)], axis=0
+    )  # (G*rows, dim)
+    q_top = jax.lax.dot_general(
+        h_top, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # (G*rows, hd)
 
+    attn_rows = []
+    for g in range(group):
+        kv_g = kv[g * np_:(g + 1) * np_]
+        q_g = q_top[g * rows:(g + 1) * rows]
         outs = []
         for hh in range(heads):
-            q = q_top[:, hh * dim_head:(hh + 1) * dim_head]
-            k = kv[:, hh * dim_head:(hh + 1) * dim_head]
-            v = kv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            q = q_g[:, hh * dim_head:(hh + 1) * dim_head]
+            k = kv_g[:, hh * dim_head:(hh + 1) * dim_head]
+            v = kv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -621,33 +631,39 @@ def _block_cls_kernel(
                 preferred_element_type=jnp.float32,
             )
             outs.append((o / l).astype(x.dtype))
-        attn = jnp.concatenate(outs, axis=-1)
-        attn = (
-            jax.lax.dot_general(
-                attn, wout_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bout_ref[0].astype(jnp.float32)
-        )
-        x1 = (x[:rows].astype(jnp.float32) + attn).astype(x.dtype)
-
-        h2 = _layer_norm(x1, ln2_s, ln2_b, ln_eps).astype(x.dtype)
-        f = (
-            jax.lax.dot_general(
-                h2, wfc1_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bfc1_ref[0].astype(jnp.float32)
-        )
-        c = 0.7978845608028654
-        f = (0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f * f * f)))).astype(
-            x.dtype
-        )
-        f = jax.lax.dot_general(
-            f, wfc2_ref[:], (((1,), (0,)), ((), ())),
+        attn_rows.append(jnp.concatenate(outs, axis=-1))
+    attn = jnp.concatenate(attn_rows, axis=0)  # (G*rows, hd)
+    attn = (
+        jax.lax.dot_general(
+            attn, wout_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bfc2_ref[0].astype(jnp.float32)
-        o_ref[g] = (x1.astype(jnp.float32) + f).astype(o_ref.dtype)
+        )
+        + bout_ref[0].astype(jnp.float32)
+    )
+    x_top = jnp.concatenate(
+        [x[g * np_:g * np_ + rows] for g in range(group)], axis=0
+    )
+    x1 = (x_top.astype(jnp.float32) + attn).astype(x.dtype)
+
+    h2 = _layer_norm(x1, ln2_s, ln2_b, ln_eps).astype(x.dtype)
+    f = (
+        jax.lax.dot_general(
+            h2, wfc1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bfc1_ref[0].astype(jnp.float32)
+    )
+    c = 0.7978845608028654
+    f = (0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f * f * f)))).astype(
+        x.dtype
+    )
+    f = jax.lax.dot_general(
+        f, wfc2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bfc2_ref[0].astype(jnp.float32)
+    o_ref[...] = (x1.astype(jnp.float32) + f).astype(o_ref.dtype).reshape(
+        group, rows, dim
+    )
 
 
 def fused_block_cls(
@@ -659,16 +675,21 @@ def fused_block_cls(
     dim_head: int,
     valid_len: int | None = None,
     ln_eps: float = 1e-5,
-    group: int = 2,
+    group: int | None = None,
     fast_softmax: bool = True,
 ) -> jax.Array:
     """Final transformer block for CLS pooling: returns only the first 8
-    output rows (row 0 is the CLS token). x: (B, N, dim), N % 8 == 0."""
+    output rows (row 0 is the CLS token). x: (B, N, dim), N % 8 == 0.
+    Samples flatten into the LN/KV GEMMs like fused_block."""
     B, N, dim = x.shape
     if N % 8 != 0:
         raise NotImplementedError("fused_block_cls requires N % 8 == 0")
     vl = N if valid_len is None else int(valid_len)
-    G = group if B % group == 0 else 1
+    G = group or _clamp_group(
+        _auto_group(dim), N, dim, w_fc1.shape[1], w_qkv.shape[1]
+    )
+    while G > 1 and B % G:
+        G //= 2
     hd = heads * dim_head
 
     def vec(v):
@@ -725,6 +746,7 @@ def _block_cls_bwd_kernel(
 ):
     first = pl.program_id(0) == 0
     np_ = x_ref.shape[1]
+    dim = x_ref.shape[2]
     rows = g_ref.shape[1]
     hd = heads * dim_head
     scale = dim_head ** -0.5
@@ -735,97 +757,127 @@ def _block_cls_bwd_kernel(
     ln2_s = ln2_s_ref[0].astype(jnp.float32)
     ln2_b = ln2_b_ref[0].astype(jnp.float32)
 
-    acc = None
+    # FLATTENED over the G samples (see _block_bwd_kernel): the LN/KV
+    # recompute and every weight-grad contraction run once at M = G*Np (or
+    # G*rows for the 8-row stages); attention and its grads stay per sample.
+    x = x_ref[...].reshape(group * np_, dim)
+    g = g_ref[...].reshape(group * rows, dim).astype(jnp.float32)
+
+    def top_rows(t, n_block, n_take):
+        return jnp.concatenate(
+            [t[g_i * n_block:g_i * n_block + n_take] for g_i in range(group)],
+            axis=0,
+        )
+
+    # ---- forward recompute ----
+    h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
+    h1 = h1f.astype(x.dtype)
+    kv = _mm(h1, wkv_ref[:]).astype(x.dtype)  # (G*Np, 2*hd)
+    h1_top = top_rows(h1, np_, rows)  # (G*rows, dim)
+    q_top = _mm(h1_top, wq_ref[:]).astype(x.dtype)  # (G*rows, hd)
+
+    att_rows, pn_parts, ok_parts = [], [], []
     for g_i in range(group):
-        x = x_ref[g_i]  # (Np, dim) bf16
-        g = g_ref[g_i].astype(jnp.float32)  # (rows, dim)
-
-        # ---- forward recompute ----
-        h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
-        h1 = h1f.astype(x.dtype)
-        kv = _mm(h1, wkv_ref[:]).astype(x.dtype)  # (Np, 2*hd)
-        q_top = _mm(h1[:rows], wq_ref[:]).astype(x.dtype)  # (rows, hd)
-
-        att_parts, pn_parts, ok_parts = [], [], []
+        kv_g = kv[g_i * np_:(g_i + 1) * np_]
+        q_g = q_top[g_i * rows:(g_i + 1) * rows]
+        att_parts = []
         for hh in range(heads):
-            q = q_top[:, hh * dim_head:(hh + 1) * dim_head]
-            k = kv[:, hh * dim_head:(hh + 1) * dim_head]
+            q = q_g[:, hh * dim_head:(hh + 1) * dim_head]
+            k = kv_g[:, hh * dim_head:(hh + 1) * dim_head]
             s = _mm(q, k, ((1,), (1,))) * scale  # (rows, Np)
             s = jnp.where(col8 < valid_len, s, _NEG_INF)
             p, l = _softmax_rows(s, fast_softmax)
             pn = p / l
             pn_parts.append(pn)
             ok_parts.append((s <= _CLAMP) if fast_softmax else None)
-            v = kv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            v = kv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
             att_parts.append(_mm(pn.astype(v.dtype), v).astype(x.dtype))
-        a = jnp.concatenate(att_parts, axis=-1)  # (rows, hd)
-        o1 = _mm(a, wout_ref[:]) + bout_ref[0].astype(jnp.float32)
-        x1 = (x[:rows].astype(jnp.float32) + o1).astype(x.dtype)
+        att_rows.append(jnp.concatenate(att_parts, axis=-1))
+    a = jnp.concatenate(att_rows, axis=0)  # (G*rows, hd)
+    o1 = _mm(a, wout_ref[:]) + bout_ref[0].astype(jnp.float32)
+    x_top = top_rows(x, np_, rows)
+    x1 = (x_top.astype(jnp.float32) + o1).astype(x.dtype)
 
-        # ---- MLP branch (rows only) ----
-        h2f, n2, rstd2 = _ln_fwd_cache(x1, ln2_s, ln2_b, ln_eps)
-        h2 = h2f.astype(x.dtype)
-        f1 = _mm(h2, wfc1_ref[:]) + bfc1_ref[0].astype(jnp.float32)
-        gl, dgl_df1 = _gelu_tanh_and_grad(f1)
-        glb = gl.astype(x.dtype)
-        gb = g.astype(x.dtype)
+    # ---- MLP branch (G*rows only) ----
+    h2f, n2, rstd2 = _ln_fwd_cache(x1, ln2_s, ln2_b, ln_eps)
+    h2 = h2f.astype(x.dtype)
+    f1 = _mm(h2, wfc1_ref[:]) + bfc1_ref[0].astype(jnp.float32)
+    gl, dgl_df1 = _gelu_tanh_and_grad(f1)
+    glb = gl.astype(x.dtype)
+    gb = g.astype(x.dtype)
 
-        dwfc2 = _mm(glb, gb, ((0,), (0,)))
-        dbfc2 = jnp.sum(g, axis=0, keepdims=True)
-        dgl = _mm(gb, wfc2_ref[:], ((1,), (1,)))
-        df1 = dgl * dgl_df1
-        df1b = df1.astype(x.dtype)
-        dwfc1 = _mm(h2, df1b, ((0,), (0,)))
-        dbfc1 = jnp.sum(df1, axis=0, keepdims=True)
-        dh2 = _mm(df1b, wfc1_ref[:], ((1,), (1,)))
-        dx1_ln, dln2_s, dln2_b = _ln_bwd(dh2, n2, rstd2, ln2_s)
-        dx1 = g + dx1_ln  # (rows, dim) f32
+    dwfc2 = _mm(glb, gb, ((0,), (0,)))
+    dbfc2 = jnp.sum(g, axis=0, keepdims=True)
+    dgl = _mm(gb, wfc2_ref[:], ((1,), (1,)))
+    df1 = dgl * dgl_df1
+    df1b = df1.astype(x.dtype)
+    dwfc1 = _mm(h2, df1b, ((0,), (0,)))
+    dbfc1 = jnp.sum(df1, axis=0, keepdims=True)
+    dh2 = _mm(df1b, wfc1_ref[:], ((1,), (1,)))
+    dx1_ln, dln2_s, dln2_b = _ln_bwd(dh2, n2, rstd2, ln2_s)
+    dx1 = g + dx1_ln  # (G*rows, dim) f32
 
-        # ---- attention branch backward ----
-        dx1b = dx1.astype(x.dtype)
-        dbout = jnp.sum(dx1, axis=0, keepdims=True)
-        dwout = _mm(a, dx1b, ((0,), (0,)))
-        da = _mm(dx1b, wout_ref[:], ((1,), (1,))).astype(x.dtype)  # (rows, hd)
+    # ---- attention branch backward ----
+    dx1b = dx1.astype(x.dtype)
+    dbout = jnp.sum(dx1, axis=0, keepdims=True)
+    dwout = _mm(a, dx1b, ((0,), (0,)))
+    da = _mm(dx1b, wout_ref[:], ((1,), (1,))).astype(x.dtype)  # (G*rows, hd)
 
+    dq_rows, dkv_rows = [], []
+    for g_i in range(group):
+        kv_g = kv[g_i * np_:(g_i + 1) * np_]
+        q_g = q_top[g_i * rows:(g_i + 1) * rows]
+        da_g = da[g_i * rows:(g_i + 1) * rows]
         dq_parts, dk_parts, dv_parts = [], [], []
         for hh in range(heads):
-            q = q_top[:, hh * dim_head:(hh + 1) * dim_head]
-            k = kv[:, hh * dim_head:(hh + 1) * dim_head]
-            v = kv[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
-            da_h = da[:, hh * dim_head:(hh + 1) * dim_head]
-            pn = pn_parts[hh]  # (rows, Np); CLS rows are always valid
+            q = q_g[:, hh * dim_head:(hh + 1) * dim_head]
+            k = kv_g[:, hh * dim_head:(hh + 1) * dim_head]
+            v = kv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            da_h = da_g[:, hh * dim_head:(hh + 1) * dim_head]
+            pn = pn_parts[g_i * heads + hh]  # CLS rows are always valid
             pb = pn.astype(x.dtype)
             dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
             dp = _mm(da_h, v, ((1,), (1,)))  # (rows, Np)
             delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
             ds = pn * (dp - delta) * scale
-            if ok_parts[hh] is not None:
-                ds = jnp.where(ok_parts[hh], ds, 0.0)
+            if ok_parts[g_i * heads + hh] is not None:
+                ds = jnp.where(ok_parts[g_i * heads + hh], ds, 0.0)
             ds = ds.astype(x.dtype)
             dq_parts.append(_mm(ds, k).astype(x.dtype))  # (rows, dh)
             dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))  # (Np, dh)
-        dq_top = jnp.concatenate(dq_parts, axis=-1)  # (rows, hd)
-        dkv = jnp.concatenate(dk_parts + dv_parts, axis=-1)  # (Np, 2hd)
+        dq_rows.append(jnp.concatenate(dq_parts, axis=-1))
+        dkv_rows.append(jnp.concatenate(dk_parts + dv_parts, axis=-1))
+    dq_top = jnp.concatenate(dq_rows, axis=0)  # (G*rows, hd)
+    dkv = jnp.concatenate(dkv_rows, axis=0)  # (G*Np, 2hd)
 
-        dw_q = _mm(h1[:rows], dq_top, ((0,), (0,)))  # (dim, hd)
-        dw_kv = _mm(h1, dkv, ((0,), (0,)))  # (dim, 2hd)
-        dwqkv = jnp.concatenate([dw_q, dw_kv], axis=-1)  # (dim, 3hd)
+    dw_q = _mm(h1_top, dq_top, ((0,), (0,)))  # (dim, hd)
+    dw_kv = _mm(h1, dkv, ((0,), (0,)))  # (dim, 2hd)
+    dwqkv = jnp.concatenate([dw_q, dw_kv], axis=-1)  # (dim, 3hd)
 
-        dh1 = _mm(dkv, wkv_ref[:], ((1,), (1,)))  # (Np, dim)
-        dh1_top = _mm(dq_top, wq_ref[:], ((1,), (1,)))  # (rows, dim)
-        dh1 = jnp.concatenate([dh1[:rows] + dh1_top, dh1[rows:]], axis=0)
-        dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
-        # residual: x[:rows] feeds x1 directly
-        dx = jnp.concatenate(
-            [dx_ln[:rows] + dx1, dx_ln[rows:]], axis=0
-        )
-        dx_ref[g_i] = dx.astype(dx_ref.dtype)
+    dh1 = _mm(dkv, wkv_ref[:], ((1,), (1,)))  # (G*Np, dim)
+    dh1_top = _mm(dq_top, wq_ref[:], ((1,), (1,)))  # (G*rows, dim)
+    dh1 = jnp.concatenate([
+        jnp.concatenate([
+            dh1[g_i * np_:g_i * np_ + rows]
+            + dh1_top[g_i * rows:(g_i + 1) * rows],
+            dh1[g_i * np_ + rows:(g_i + 1) * np_],
+        ], axis=0)
+        for g_i in range(group)
+    ], axis=0)
+    dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
+    # residual: x[:rows] of each sample feeds x1 directly
+    dx = jnp.concatenate([
+        jnp.concatenate([
+            dx_ln[g_i * np_:g_i * np_ + rows]
+            + dx1[g_i * rows:(g_i + 1) * rows],
+            dx_ln[g_i * np_ + rows:(g_i + 1) * np_],
+        ], axis=0)
+        for g_i in range(group)
+    ], axis=0)
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(group, np_, dim)
 
-        grads = (dln1_s, dln1_b, dwqkv, dwout, dbout,
-                 dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
-        acc = grads if acc is None else tuple(
-            a_ + b_ for a_, b_ in zip(acc, grads)
-        )
+    acc = (dln1_s, dln1_b, dwqkv, dwout, dbout,
+           dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
 
     out_refs = (dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
                 dln2_s_ref, dln2_b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref,
@@ -844,13 +896,18 @@ def _block_cls_bwd_kernel(
 
 def _block_cls_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
                    ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
-                   *, heads, dim_head, valid_len, ln_eps, group: int = 1,
-                   fast_softmax: bool = True):
+                   *, heads, dim_head, valid_len, ln_eps,
+                   group: int | None = None, fast_softmax: bool = True):
     B, N, dim = x.shape
     rows = g.shape[1]
     mlp = w_fc1.shape[1]
     hd = heads * dim_head
-    G = group if B % group == 0 else 1
+    # the cls backward's prob cache is (rows, Np) per (sample, head) —
+    # far lighter than the full block's (Np, Np) — so the forward rule
+    # applies rather than the bwd one
+    G = group or _clamp_group(_auto_group(dim), N, dim, mlp, 3 * hd)
+    while G > 1 and B % G:
+        G //= 2
 
     def vec(v):
         return v.reshape(1, -1)
