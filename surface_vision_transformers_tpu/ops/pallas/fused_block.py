@@ -103,6 +103,27 @@ def _clamp_group(G: int, N: int, dim: int, mlp: int, hd3: int,
     return G
 
 
+def _clamp_group_cls(G: int, N: int, dim: int, hd3: int,
+                     heads: int = 0, rows: int = 8, bwd: bool = False) -> int:
+    """cls-block variant of _clamp_group: the MLP and Q/out-proj stages run
+    at M = G*rows (negligible), so the estimate keeps only the full-length
+    terms — x/h/kv tiles, and for the backward the (G*N, dim)/(G*N, 2hd)
+    fp32 gradient tiles plus the (rows, N) per-(sample, head) prob cache."""
+    per = N * (dim * 12 + hd3 * 2)
+    if bwd:
+        per += N * (dim * 4 + hd3 * 2) + heads * rows * N * 8
+    while G > 1 and G * per > _GROUP_VMEM_BUDGET:
+        G //= 2
+    return G
+
+
+def _fit_group(G: int, B: int) -> int:
+    """Largest power-of-two divisor of B that is <= G."""
+    while G > 1 and B % G:
+        G //= 2
+    return G
+
+
 def _block_kernel(
     x_ref,
     ln1_s_ref, ln1_b_ref, wqkv_ref,
@@ -212,11 +233,9 @@ def fused_block(
     if N % 8 != 0:
         raise NotImplementedError("fused_block requires N % 8 == 0")
     vl = N if valid_len is None else int(valid_len)
-    G = group or _clamp_group(
+    G = _fit_group(group or _clamp_group(
         _auto_group(dim), N, dim, w_fc1.shape[1], w_qkv.shape[1]
-    )
-    while G > 1 and B % G:
-        G //= 2
+    ), B)
 
     def vec(v):  # 1-D params as (1, dim) VMEM rows
         return v.reshape(1, -1)
@@ -415,8 +434,8 @@ def _block_bwd_kernel(
     dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
     dx_ref[...] = (dx1 + dx_ln).astype(dx_ref.dtype).reshape(group, np_, dim)
 
-    acc = (dln1_s, dln1_b, dwqkv, dwout, dbout,
-           dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
+    grads = (dln1_s, dln1_b, dwqkv, dwout, dbout,
+             dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
 
     # ---- weight-grad accumulation across the batch-tile grid ----
     out_refs = (dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
@@ -425,12 +444,12 @@ def _block_bwd_kernel(
 
     @pl.when(first)
     def _():
-        for ref, val in zip(out_refs, acc):
+        for ref, val in zip(out_refs, grads):
             ref[:] = val
 
     @pl.when(jnp.logical_not(first))
     def _():
-        for ref, val in zip(out_refs, acc):
+        for ref, val in zip(out_refs, grads):
             ref[:] += val
 
 
@@ -446,12 +465,10 @@ def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     B, N, dim = x.shape
     mlp = w_fc1.shape[1]
     hd = heads * dim_head
-    G = group or _clamp_group(
+    G = _fit_group(group or _clamp_group(
         _auto_group(dim, bwd=True), N, dim, mlp, 3 * hd, heads=heads,
         bwd=True,
-    )
-    while G > 1 and B % G:
-        G //= 2
+    ), B)
 
     def vec(v):
         return v.reshape(1, -1)
@@ -576,6 +593,14 @@ fused_block_train.defvjp(_fbt_fwd, _fbt_bwd)
 # per-layer weight indexing costs more than the launches save.
 
 
+def _top_rows(t, group: int, n_block: int, n_take: int):
+    """Concatenate the first ``n_take`` rows of each of the ``group``
+    flattened sample blocks: (G*n_block, d) -> (G*n_take, d)."""
+    return jnp.concatenate(
+        [t[g * n_block:g * n_block + n_take] for g in range(group)], axis=0
+    )
+
+
 def _block_cls_kernel(
     x_ref,
     ln1_s_ref, ln1_b_ref, wq_ref, wkv_ref, wout_ref, bout_ref,
@@ -603,9 +628,7 @@ def _block_cls_kernel(
         h, wkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)  # (G*Np, 2*hd), [k|v] lanes
-    h_top = jnp.concatenate(
-        [h[g * np_:g * np_ + rows] for g in range(group)], axis=0
-    )  # (G*rows, dim)
+    h_top = _top_rows(h, group, np_, rows)  # (G*rows, dim)
     q_top = jax.lax.dot_general(
         h_top, wq_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -640,9 +663,7 @@ def _block_cls_kernel(
         )
         + bout_ref[0].astype(jnp.float32)
     )
-    x_top = jnp.concatenate(
-        [x[g * np_:g * np_ + rows] for g in range(group)], axis=0
-    )
+    x_top = _top_rows(x, group, np_, rows)
     x1 = (x_top.astype(jnp.float32) + attn).astype(x.dtype)
 
     h2 = _layer_norm(x1, ln2_s, ln2_b, ln_eps).astype(x.dtype)
@@ -685,12 +706,10 @@ def fused_block_cls(
     if N % 8 != 0:
         raise NotImplementedError("fused_block_cls requires N % 8 == 0")
     vl = N if valid_len is None else int(valid_len)
-    G = group or _clamp_group(
-        _auto_group(dim), N, dim, w_fc1.shape[1], w_qkv.shape[1]
-    )
-    while G > 1 and B % G:
-        G //= 2
     hd = heads * dim_head
+    G = _fit_group(group or _clamp_group_cls(
+        _auto_group(dim), N, dim, 3 * hd
+    ), B)
 
     def vec(v):
         return v.reshape(1, -1)
@@ -763,17 +782,11 @@ def _block_cls_bwd_kernel(
     x = x_ref[...].reshape(group * np_, dim)
     g = g_ref[...].reshape(group * rows, dim).astype(jnp.float32)
 
-    def top_rows(t, n_block, n_take):
-        return jnp.concatenate(
-            [t[g_i * n_block:g_i * n_block + n_take] for g_i in range(group)],
-            axis=0,
-        )
-
     # ---- forward recompute ----
     h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
     h1 = h1f.astype(x.dtype)
     kv = _mm(h1, wkv_ref[:]).astype(x.dtype)  # (G*Np, 2*hd)
-    h1_top = top_rows(h1, np_, rows)  # (G*rows, dim)
+    h1_top = _top_rows(h1, group, np_, rows)  # (G*rows, dim)
     q_top = _mm(h1_top, wq_ref[:]).astype(x.dtype)  # (G*rows, hd)
 
     att_rows, pn_parts, ok_parts = [], [], []
@@ -795,7 +808,7 @@ def _block_cls_bwd_kernel(
         att_rows.append(jnp.concatenate(att_parts, axis=-1))
     a = jnp.concatenate(att_rows, axis=0)  # (G*rows, hd)
     o1 = _mm(a, wout_ref[:]) + bout_ref[0].astype(jnp.float32)
-    x_top = top_rows(x, np_, rows)
+    x_top = _top_rows(x, group, np_, rows)
     x1 = (x_top.astype(jnp.float32) + o1).astype(x.dtype)
 
     # ---- MLP branch (G*rows only) ----
@@ -876,8 +889,8 @@ def _block_cls_bwd_kernel(
     ], axis=0)
     dx_ref[...] = dx.astype(dx_ref.dtype).reshape(group, np_, dim)
 
-    acc = (dln1_s, dln1_b, dwqkv, dwout, dbout,
-           dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
+    grads = (dln1_s, dln1_b, dwqkv, dwout, dbout,
+             dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
 
     out_refs = (dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
                 dln2_s_ref, dln2_b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref,
@@ -885,12 +898,12 @@ def _block_cls_bwd_kernel(
 
     @pl.when(first)
     def _():
-        for ref, val in zip(out_refs, acc):
+        for ref, val in zip(out_refs, grads):
             ref[:] = val
 
     @pl.when(jnp.logical_not(first))
     def _():
-        for ref, val in zip(out_refs, acc):
+        for ref, val in zip(out_refs, grads):
             ref[:] += val
 
 
@@ -903,11 +916,13 @@ def _block_cls_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     mlp = w_fc1.shape[1]
     hd = heads * dim_head
     # the cls backward's prob cache is (rows, Np) per (sample, head) —
-    # far lighter than the full block's (Np, Np) — so the forward rule
-    # applies rather than the bwd one
-    G = group or _clamp_group(_auto_group(dim), N, dim, mlp, 3 * hd)
-    while G > 1 and B % G:
-        G //= 2
+    # far lighter than the full block's (Np, Np) — but the (G*N, dim)
+    # fp32 gradient tiles still apply, so the conservative bwd rule picks
+    # the base G and the cls-specific estimate clamps it
+    G = _fit_group(group or _clamp_group_cls(
+        _auto_group(dim, bwd=True), N, dim, 3 * hd, heads=heads, rows=rows,
+        bwd=True,
+    ), B)
 
     def vec(v):
         return v.reshape(1, -1)

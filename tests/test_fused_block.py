@@ -264,3 +264,37 @@ def test_fused_forward_microbatch_equivalent(setup):
     np.testing.assert_allclose(
         np.asarray(odd), np.asarray(whole[:3]), atol=1e-5
     )
+
+
+def test_cls_blocks_grouped_match_ungrouped():
+    """Flattened cls fwd/bwd at G=2 match G=1 exactly (pins the
+    multi-sample top-rows reassembly and pn_parts indexing regardless of
+    what the auto group picker selects at test shapes)."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        _block_cls_bwd, fused_block_cls,
+    )
+
+    rng = np.random.default_rng(6)
+    B, N, dim, heads, dh, mlp = 4, 128, 32, 2, 16, 64
+    x = jnp.asarray(rng.standard_normal((B, N, dim)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, 8, dim)), jnp.float32)
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    w12 = (mk(dim) + 1, mk(dim), mk(dim, 3 * heads * dh), mk(heads * dh, dim),
+           mk(dim), mk(dim) + 1, mk(dim), mk(dim, mlp), mk(mlp), mk(mlp, dim),
+           mk(dim))
+
+    outs = {}
+    for G in (1, 2):
+        outs[G] = fused_block_cls(x, *w12, heads=heads, dim_head=dh,
+                                  valid_len=99, group=G)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(outs[2]),
+                               atol=1e-5, rtol=1e-5)
+
+    bwd = {}
+    for G in (1, 2):
+        bwd[G] = _block_cls_bwd(x, g, *w12[:10], heads=heads, dim_head=dh,
+                                valid_len=99, ln_eps=1e-5, group=G)
+    for a, b in zip(bwd[1], bwd[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
