@@ -245,3 +245,30 @@ class TestDropoutKernel:
         assert np.isfinite(float(val))
         flat = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+
+
+def test_group_selection_rules():
+    """Pin the measured flattened-group picks and the VMEM clamps for
+    unmeasured shapes (fused_block._auto_group/_clamp_group[_cls])."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        _auto_group, _clamp_group, _clamp_group_cls, _fit_group,
+    )
+
+    # measured optima survive the clamps (tiny / small / base, N=328)
+    assert _clamp_group(_auto_group(192), 328, 192, 768, 576) == 8
+    assert _clamp_group(_auto_group(384), 328, 384, 1536, 1152) == 2
+    assert _clamp_group(_auto_group(768), 328, 768, 3072, 2304) == 8
+    assert _clamp_group(
+        _auto_group(192, bwd=True), 328, 192, 768, 576, heads=3, bwd=True
+    ) == 4
+    # unmeasured large shapes clamp down instead of overcommitting VMEM
+    assert _clamp_group(_auto_group(1024), 328, 1024, 4096, 3072) < 8
+    # cls estimate keeps large dims at full G (its MLP runs on 8 rows)
+    assert _clamp_group_cls(_auto_group(1024), 328, 1024, 3072) == 8
+    assert _clamp_group_cls(
+        _auto_group(1024, bwd=True), 328, 1024, 3072, heads=16, bwd=True
+    ) == 2
+    # divisibility fitting
+    assert _fit_group(8, 256) == 8
+    assert _fit_group(8, 6) == 2
+    assert _fit_group(8, 7) == 1
