@@ -300,16 +300,50 @@ def fused_train_forward(
     ].astype(jnp.float32)
 
 
-def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None):
-    """Differentiable MPP loss over the fused-block encoder — functional
-    equivalent of models.mpp.MPP.__call__ (corruption -> shared embed ->
-    encoder -> reconstruction -> masked MSE) reading the param tree directly.
-    Returns (loss, recon)."""
-    from surface_vision_transformers_tpu.models.mpp import corrupt_sequence
+def _fused_encoder_blocks(enc_model, enc, h, valid: int):
+    """The fused_block_train stack: (B, Npad, dim) -> (B, Npad, dim). ``enc``
+    is the encoder param subtree; everything here is Pallas megakernels, so
+    under a mesh this is the region that must run per shard (shard_map)."""
     from surface_vision_transformers_tpu.ops.pallas.fused_block import (
         fused_block_train,
     )
+
+    dt = enc_model.dtype
+    for i in range(enc_model.depth):
+        a = enc[f"layers_{i}_attn"]
+        m = enc[f"layers_{i}_mlp"]
+        h = fused_block_train(
+            h,
+            a["norm"]["scale"], a["norm"]["bias"], a["to_qkv"]["kernel"].astype(dt),
+            a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+            m["norm"]["scale"], m["norm"]["bias"],
+            m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
+            m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+            enc_model.heads, enc_model.dim_head, valid,
+        )
+    return h
+
+
+def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None, *,
+                   mesh=None):
+    """Differentiable MPP loss over the fused-block encoder — functional
+    equivalent of models.mpp.MPP.__call__ (corruption -> shared embed ->
+    encoder -> reconstruction -> masked MSE) reading the param tree directly.
+    Returns (loss, recon).
+
+    ``mesh``: under a PURE-DP mesh only the megakernel block stack shard_maps
+    over the batch axes (params replicated per shard); the corruption,
+    embedding, and loss stay global XLA ops — GSPMD partitions them — so the
+    loss is EXACTLY the single-device value (same global corruption from the
+    same ``rng``). Non-DP meshes must use the modular MPP module."""
+    from surface_vision_transformers_tpu.models.mpp import corrupt_sequence
     from surface_vision_transformers_tpu.ops import patchify as _patchify
+
+    if mesh is not None and mesh.size > 1 and not _pure_dp(mesh):
+        raise ValueError(
+            "fused_mpp_loss under a mesh requires pure DP; use the modular "
+            "MPP module"
+        )
 
     p = variables["params"] if "params" in variables else variables
     enc_model = mpp.encoder
@@ -348,18 +382,18 @@ def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None):
         h = jnp.pad(h, [(0, 0), (0, n_pad - (n + 1)), (0, 0)])
 
     enc = ep["encoder"]
-    for i in range(enc_model.depth):
-        a = enc[f"layers_{i}_attn"]
-        m = enc[f"layers_{i}_mlp"]
-        h = fused_block_train(
-            h,
-            a["norm"]["scale"], a["norm"]["bias"], a["to_qkv"]["kernel"].astype(dt),
-            a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
-            m["norm"]["scale"], m["norm"]["bias"],
-            m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
-            m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
-            enc_model.heads, enc_model.dim_head, n + 1,
+    if mesh is not None and mesh.size > 1:
+        if B % mesh.shape["data"]:
+            raise ValueError(
+                "fused_mpp_loss under a mesh needs the batch divisible by "
+                "the data axis; use the modular MPP module"
+            )
+        h = _dp_shard_map(
+            lambda e, hh: _fused_encoder_blocks(enc_model, e, hh, n + 1),
+            mesh, enc, h,
         )
+    else:
+        h = _fused_encoder_blocks(enc_model, enc, h, n + 1)
     h = h[:, 1 : n + 1]
 
     recon = h.astype(jnp.float32) @ p["to_original"]["kernel"].astype(

@@ -54,6 +54,13 @@ class EpochMetrics:
         return {"loss": self.loss, "mae": self.mae}
 
 
+# Test-only hook: force the fused megakernel gates open (interpret mode on
+# CPU meshes, any dtype). Deliberately NOT an env var — a leaked variable
+# must never reroute a production run onto unvalidated-dtype paths (ADVICE
+# r2); tests/dryrun set it via monkeypatch / try-finally on this module.
+FORCE_FUSED = False
+
+
 def _batch_weights(n: int, bs: int) -> jnp.ndarray:
     """(steps, bs) float32 sample weights for clamped contiguous batching:
     batch i reads rows [min(i*bs, n-bs), ...+bs) of a (possibly permuted)
@@ -198,12 +205,9 @@ class Trainer:
         never in fp32 parity mode (set tpu.fused_train: false to disable)."""
         import jax as _jax
 
-        import os as _os
-
         from surface_vision_transformers_tpu.models.fused import _pure_dp
 
-        forced = _os.environ.get("SVT_FORCE_FUSED") == "1"  # test hook:
-        # exercise the fused paths in interpret mode on CPU meshes
+        forced = FORCE_FUSED  # test-only module flag (see its definition)
         return (
             getattr(self.exp.tpu, "fused_train", True)
             and (_jax.default_backend() == "tpu" or forced)
@@ -238,7 +242,7 @@ class Trainer:
             if (
                 deterministic
                 and self._use_fused_train()
-                and (self.mesh is None or self.mesh.size == 1)
+                and self._fused_batch_ok(batch.shape[0])
             ):
                 from surface_vision_transformers_tpu.models.fused import (
                     fused_mpp_loss,
@@ -246,7 +250,7 @@ class Trainer:
 
                 loss, _ = fused_mpp_loss(
                     self.mpp, {"params": params}, batch, rng,
-                    sample_weights=weights,
+                    sample_weights=weights, mesh=self.mesh,
                 )
                 return loss, loss
             rngs = {"dropout": rng} if not deterministic else {}
@@ -366,6 +370,8 @@ class Trainer:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step_fn(state: TrainState, batch, tgt, w):
+            batch = self._constrain_batch(batch)
+            tgt = self._constrain_batch(tgt)
             rng, step_rng = jax.random.split(state.rng)
             if self.augment is not None:
                 batch = self.augment(jax.random.fold_in(step_rng, 7), batch)
@@ -404,6 +410,48 @@ class Trainer:
         mae = float(jnp.stack(mae_sums).sum()) / n
         return state, EpochMetrics(loss=loss, mae=mae)
 
+    def evaluate_streaming(self, state: TrainState, loader):
+        """Full-split eval over a StreamingLoader (host-resident data).
+        The loader must have ``shuffle=False`` so predictions come back in
+        row order. Returns (metrics, predictions | None)."""
+        if loader.shuffle:
+            raise ValueError("evaluate_streaming needs a shuffle=False loader")
+        if not hasattr(self, "_eval_step_fn"):
+            @jax.jit
+            def eval_step(params, batch, tgt, w, i):
+                batch = self._constrain_batch(batch)
+                tgt = self._constrain_batch(tgt)
+                if self.task == "mpp":
+                    rng = jax.random.fold_in(jax.random.PRNGKey(1234), i)
+                    loss, _ = self.mpp.apply(
+                        {"params": params}, batch, rng, sample_weights=w
+                    )
+                    return loss * w.sum(), jnp.zeros(()), jnp.zeros(
+                        (batch.shape[0],)
+                    )
+                preds = self._infer(params, batch)
+                preds = preds.reshape(preds.shape[0], -1).squeeze(-1)
+                err = jnp.abs(preds - tgt.reshape(preds.shape))
+                sq = jnp.square(preds - tgt.reshape(preds.shape))
+                return (sq * w).sum(), (err * w).sum(), preds
+
+            self._eval_step_fn = eval_step
+
+        loss_sum = err_sum = 0.0
+        preds_all = []
+        for i, (batch, tgt, w) in enumerate(loader):
+            ls, es, preds = self._eval_step_fn(
+                state.params, batch, tgt, w, jnp.int32(i)
+            )
+            loss_sum += float(ls)
+            err_sum += float(es)
+            preds_all.append(np.asarray(jax.device_get(preds)))
+        n = loader.num_samples
+        if self.task == "mpp":
+            return EpochMetrics(loss=loss_sum / n, mae=loss_sum / n), None
+        flat = np.concatenate(preds_all)[:n]  # drop last-batch padding rows
+        return EpochMetrics(loss=loss_sum / n, mae=err_sum / n), flat
+
     # -- evaluation ----------------------------------------------------------
 
     def _use_fused_inference(self) -> bool:
@@ -411,11 +459,9 @@ class Trainer:
         sequence + regression task (MPP eval needs the recon head)."""
         import jax as _jax
 
-        import os as _os
-
         from surface_vision_transformers_tpu.models.fused import _pure_dp
 
-        forced = _os.environ.get("SVT_FORCE_FUSED") == "1"
+        forced = FORCE_FUSED
         return (
             self.task == "regression"
             and (_jax.default_backend() == "tpu" or forced)
@@ -484,6 +530,12 @@ class Trainer:
             return EpochMetrics(loss=float(loss_sum) / n, mae=float(loss_sum) / n), None
         # batch i holds rows [min(i*bs, n-bs), +bs): drop the last batch's
         # re-read prefix to restore row order
+        if jax.process_count() > 1:
+            # preds shard across processes; np.asarray on a non-addressable
+            # array raises — gather every host's shards first
+            from jax.experimental import multihost_utils
+
+            preds = multihost_utils.process_allgather(preds, tiled=True)
         preds = np.asarray(preds)
         overlap = steps * bs - n
         flat = np.concatenate([preds[:-1].reshape(-1), preds[-1][overlap:]])

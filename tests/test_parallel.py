@@ -374,9 +374,11 @@ def test_dropout_kernel_under_mesh_runs(data):
 def test_fused_megakernel_pure_dp_matches_single_device(data, monkeypatch):
     """Under a PURE-DP mesh the fused megakernel train path runs per shard
     via shard_map in models.fused (params replicated; weight grads psummed
-    by the shard_map transpose). Forced on for CPU interpret mode via
-    SVT_FORCE_FUSED; trajectory must match the single-device fused run."""
-    monkeypatch.setenv("SVT_FORCE_FUSED", "1")
+    by the shard_map transpose). Forced on for CPU interpret mode via the
+    trainer module flag; trajectory must match the single-device fused run."""
+    from surface_vision_transformers_tpu.train import trainer as trainer_mod
+
+    monkeypatch.setattr(trainer_mod, "FORCE_FUSED", True)
     d_np, l_np = data
     exp = tiny_exp()
 
@@ -409,14 +411,16 @@ def test_fused_under_fsdp_mesh_falls_back(data, monkeypatch):
     """FSDP/TP meshes shard params, so the fused shard_map (P() replicated
     param specs) does not apply — the trainer must take the modular path and
     still match single-device."""
-    monkeypatch.setenv("SVT_FORCE_FUSED", "1")
+    from surface_vision_transformers_tpu.train import trainer as trainer_mod
+
+    monkeypatch.setattr(trainer_mod, "FORCE_FUSED", True)
     d_np, l_np = data
     exp = tiny_exp()
     mesh = make_mesh(2, 2, 2)
     t1 = Trainer(exp, mesh=mesh)
     assert not t1._use_fused_train()  # not pure DP
 
-    monkeypatch.delenv("SVT_FORCE_FUSED")
+    monkeypatch.setattr(trainer_mod, "FORCE_FUSED", False)
     t0 = Trainer(exp)  # single-device MODULAR baseline
     s0 = t0.init_state(d_np[:1])
     s0, m0 = t0.train_epoch(s0, jnp.asarray(d_np), jnp.asarray(l_np))
@@ -428,6 +432,54 @@ def test_fused_under_fsdp_mesh_falls_back(data, monkeypatch):
         l = shard_batch(jnp.asarray(l_np), mesh)
         s1, m1 = t1.train_epoch(s1, d, l)
     assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
+
+
+def test_tp_mesh_keeps_flash_kernel(data, monkeypatch):
+    """Under TP (model > 1) attention must take the heads-sharded flash
+    kernel (Attention._tp_heads_attention), not the HBM-materialized einsum
+    fallback — and match the single-device modular result, grads included."""
+    import surface_vision_transformers_tpu.ops.pallas.flash_attention as fa
+    from surface_vision_transformers_tpu.models import SiT
+
+    d_np, l_np = data
+    calls = {"n": 0}
+    orig = fa.flash_attention_qkv
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fa, "flash_attention_qkv", counting)
+
+    kw = dict(dim=64, depth=2, heads=2, dim_head=32, mlp_dim=128,
+              num_patches=20, num_vertices=15, dtype=jnp.float32,
+              attn_backend="pallas")
+    mesh = make_mesh(2, 1, 2)  # DP x TP; model=2 divides heads=2
+    model_tp = SiT(**kw, batch_mesh=mesh)
+    model_ref = SiT(**kw)
+
+    x = jnp.asarray(d_np[:16])
+    y = jnp.asarray(l_np[:16])
+    params = model_ref.init(jax.random.PRNGKey(0), x[:1])
+
+    def loss(m, p, xx):
+        preds = m.apply(p, xx)
+        return jnp.mean(jnp.square(preds.reshape(-1) - y))
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(model_ref, p, x))(params)
+    calls["n"] = 0
+    with mesh:
+        xs = shard_batch(x, mesh)
+        ps = shard_params(params, mesh)
+        l_tp, g_tp = jax.jit(
+            jax.value_and_grad(lambda p: loss(model_tp, p, xs))
+        )(ps)
+    assert calls["n"] > 0, "TP path fell back to einsum"
+    assert abs(float(l_tp) - float(l_ref)) < 1e-5, (l_tp, l_ref)
+    for a, b in zip(jax.tree.leaves(g_tp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(b), atol=2e-5
+        )
 
 
 def test_user_supplied_model_gets_mesh_plumbing():
@@ -455,7 +507,9 @@ def test_run_testing_pure_dp_fused(data, tmp_path, monkeypatch):
     """The product eval entry point under a pure-DP mesh takes the
     shard_mapped fused megakernel path (forced for CPU interpret) and
     matches the meshless result."""
-    monkeypatch.setenv("SVT_FORCE_FUSED", "1")
+    from surface_vision_transformers_tpu.train import trainer as trainer_mod
+
+    monkeypatch.setattr(trainer_mod, "FORCE_FUSED", True)
     from surface_vision_transformers_tpu.train import runner
 
     d_np, l_np = data
