@@ -18,17 +18,23 @@ import numpy as np
 
 
 def load_split(
-    data_path: str | os.PathLike, split: str
+    data_path: str | os.PathLike, split: str, *, mmap: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Load ({split}_data.npy, {split}_labels.npy) from a dataset folder."""
+    """Load ({split}_data.npy, {split}_labels.npy) from a dataset folder.
+
+    ``mmap=True`` returns the data array as a read-only np.memmap in its
+    on-disk dtype (the streaming pipeline casts per batch) so datasets larger
+    than host RAM/HBM never materialize; labels always load eagerly."""
     d = Path(data_path)
-    data = np.load(d / f"{split}_data.npy")
+    data = np.load(d / f"{split}_data.npy", mmap_mode="r" if mmap else None)
     labels = np.load(d / f"{split}_labels.npy").reshape(-1)
     if data.shape[0] != labels.shape[0]:
         raise ValueError(
             f"{split}: {data.shape[0]} samples vs {labels.shape[0]} labels"
         )
-    return data.astype(np.float32), labels.astype(np.float32)
+    if not mmap:
+        data = data.astype(np.float32)
+    return data, labels.astype(np.float32)
 
 
 def load_norm_stats(

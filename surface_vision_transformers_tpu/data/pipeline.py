@@ -38,6 +38,7 @@ class StreamingLoader:
         shuffle: bool = True,
         seed: int = 0,
         sharding=None,
+        mesh=None,
         drop_remainder: bool = False,
     ):
         if targets is not None and data.shape[0] != targets.shape[0]:
@@ -50,6 +51,9 @@ class StreamingLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.sharding = sharding
+        self.mesh = mesh  # batch-shard over the mesh's data axes; multi-host
+        # aware (each process feeds only its process_local_slice of every
+        # batch via make_array_from_process_local_data)
         self.drop_remainder = drop_remainder
         self._epoch = 0
 
@@ -63,16 +67,47 @@ class StreamingLoader:
             n / self.batch_size
         )
 
-    def _put(self, arr: np.ndarray) -> jax.Array:
+    def _put(self, arr: np.ndarray, *, batched: bool = True) -> jax.Array:
+        if self.mesh is not None:
+            from surface_vision_transformers_tpu.parallel import (
+                local_batch_to_global,
+            )
+            from surface_vision_transformers_tpu.parallel.multihost import (
+                process_local_slice,
+            )
+
+            n_global = arr.shape[0]
+            shape = dict(self.mesh.shape)
+            n_shards = shape.get("data", 1) * shape.get("fsdp", 1)
+            if n_global % n_shards:
+                # batch doesn't divide the data axes: place replicated; the
+                # consumer's with_sharding_constraint still shards compute
+                # (GSPMD pads uneven shards internally)
+                return jnp.asarray(arr)
+            if batched and jax.process_count() > 1:
+                start, stop = process_local_slice(n_global)
+                arr = arr[start:stop]
+            return local_batch_to_global(arr, self.mesh, n_global)
         if self.sharding is not None:
             return jax.device_put(arr, self.sharding)
         return jnp.asarray(arr)
+
+    def _rows(self, source, idx) -> np.ndarray:
+        """Contiguous float32 rows from a plain array or np.memmap (the cast
+        is per batch, so an on-disk f64/f16 dataset never materializes)."""
+        rows = np.ascontiguousarray(source[idx])
+        if rows.dtype not in (np.float32, np.dtype("bfloat16")):
+            rows = rows.astype(np.float32)
+        return rows
 
     def __iter__(self) -> Iterator[tuple]:
         n = self.num_samples
         bs = self.batch_size
         order = np.arange(n)
         if self.shuffle:
+            # numpy RNG (not jax.random): the permutation happens on host
+            # where the data lives; deterministic across processes so every
+            # multi-host participant computes the SAME global batch order
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
         self._epoch += 1
@@ -85,9 +120,9 @@ class StreamingLoader:
             if idx.size < bs:
                 w[idx.size :] = 0.0
                 idx = np.concatenate([idx, np.zeros(bs - idx.size, idx.dtype)])
-            batch = self._put(np.ascontiguousarray(self.data[idx]))
+            batch = self._put(self._rows(self.data, idx))
             tgt = (
-                self._put(np.ascontiguousarray(self.targets[idx]))
+                self._put(self._rows(self.targets, idx))
                 if self.targets is not None
                 else None
             )

@@ -83,7 +83,11 @@ def _write_preds_csv(path, preds, targets) -> None:
 def load_datasets(exp: Experiment, splits=None) -> dict:
     """Load reference-format .npy splits from the configured data path. With
     ``training.testing: True`` the test split loads too, so the end-of-run
-    test (reference tools/train.py:378-435) actually has data."""
+    test (reference tools/train.py:378-435) actually has data.
+
+    With ``data.streaming`` 'on' or 'auto' the arrays come back as read-only
+    np.memmap views (zero host RAM until batches are sliced); 'off' keeps the
+    eager float32 load."""
     path = exp.data.resolved_data_path()
     if splits is None:
         splits = ("train", "validation")
@@ -91,9 +95,26 @@ def load_datasets(exp: Experiment, splits=None) -> dict:
             splits = splits + ("test",)
     out = {}
     for split in splits:
-        data, labels = npy_io.load_split(path, split)
+        data, labels = npy_io.load_split(
+            path, split, mmap=exp.data.streaming != "off"
+        )
         out[split] = (data, labels)
     return out
+
+
+def _use_streaming(exp: Experiment, train_data) -> bool:
+    """Product-path streaming decision: 'on'/'off' are explicit; 'auto'
+    streams when the device-resident epoch needs more than
+    ``data.streaming_budget_gb`` of HBM — the on-device scan keeps the
+    dataset PLUS a whole-epoch permuted copy resident (2x; see
+    trainer._build_epoch_fn)."""
+    mode = exp.data.streaming
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    bytes_f32 = int(np.prod(np.shape(train_data))) * 4
+    return 2 * bytes_f32 > exp.data.streaming_budget_gb * 2**30
 
 
 def _device_put(exp: Experiment, arr: np.ndarray, mesh=None):
@@ -281,14 +302,35 @@ def _run_training_inner(
     if train_data.ndim != 3:  # pre-patched input -> no on-device patchify
         table = None
     trainer = Trainer(exp, mesh=mesh, patch_table=table, augment=augment)
-    state = trainer.init_state(train_data[:1])
+    state = trainer.init_state(np.asarray(train_data[:1], np.float32))
     state = _load_initial_weights(exp, trainer, state)
     state = _shard_state(state, mesh)
 
-    d_train = _device_put(exp, train_data, mesh)
-    l_train = _device_put(exp, train_labels, mesh) if train_labels is not None else None
-    d_val = _device_put(exp, val_data, mesh) if val_data is not None else None
-    l_val = _device_put(exp, val_labels, mesh) if val_labels is not None else None
+    streaming = _use_streaming(exp, train_data)
+    if streaming:
+        # host-resident data (memmap-friendly): per-step jit with the
+        # double-buffered H2D loader instead of the on-device epoch scan
+        from surface_vision_transformers_tpu.data.pipeline import (
+            StreamingLoader,
+        )
+
+        train_loader = StreamingLoader(
+            train_data, train_labels, batch_size=exp.training.bs,
+            shuffle=True, seed=exp.training.seed, mesh=mesh,
+        )
+        bs_val = exp.training.bs_val or exp.training.bs
+        val_loader = (
+            StreamingLoader(val_data, val_labels, batch_size=bs_val,
+                            shuffle=False, mesh=mesh)
+            if val_data is not None else None
+        )
+        d_train = l_train = d_val = l_val = None
+    else:
+        train_loader = val_loader = None
+        d_train = _device_put(exp, train_data, mesh)
+        l_train = _device_put(exp, train_labels, mesh) if train_labels is not None else None
+        d_val = _device_put(exp, val_data, mesh) if val_data is not None else None
+        l_val = _device_put(exp, val_labels, mesh) if val_labels is not None else None
 
     best = math.inf
     best_epoch = -1
@@ -300,7 +342,10 @@ def _run_training_inner(
     for epoch in range(exp.training.epochs):
         with profile_trace(run_dir / "profile",
                            enabled=(epoch == exp.tpu.profile_epoch)):
-            state, m = trainer.train_epoch(state, d_train, l_train)
+            if streaming:
+                state, m = trainer.train_epoch_streaming(state, train_loader)
+            else:
+                state, m = trainer.train_epoch(state, d_train, l_train)
         if not math.isfinite(m.loss):
             raise FloatingPointError(
                 f"non-finite training loss at epoch {epoch}: {m.loss} "
@@ -311,12 +356,15 @@ def _run_training_inner(
             print(f"epoch {epoch}: train loss {m.loss:.5f} {metric_name} "
                   f"{getattr(m, metric_name):.5f}")
 
-        run_val = d_val is not None and (
+        run_val = (val_loader if streaming else d_val) is not None and (
             (epoch + 1) % exp.training.val_epoch == 0
             or epoch == exp.training.epochs - 1
         )
         if run_val:
-            vm, preds = trainer.evaluate(state, d_val, l_val)
+            if streaming:
+                vm, preds = trainer.evaluate_streaming(state, val_loader)
+            else:
+                vm, preds = trainer.evaluate(state, d_val, l_val)
             logger.log(epoch, vm.as_dict(), prefix="val/")
             score = getattr(vm, metric_name)
             if progress:
@@ -373,6 +421,7 @@ def _run_training_inner(
         "run_dir": str(run_dir),
         "wall_s": round(time.time() - t_start, 2),
         "training_finished": True,
+        "streaming": bool(streaming),
     }
     if mesh is not None:
         results["mesh"] = {k: int(v) for k, v in mesh.shape.items()}
@@ -384,11 +433,25 @@ def _run_training_inner(
         if exp.training.save_ckpt and best_epoch >= 0:
             test_state, _ = orbax_io.restore_state(run_dir / "best", state)
         test_data, test_labels = datasets["test"]
-        tm, preds = trainer.evaluate(
-            test_state,
-            _device_put(exp, test_data, mesh),
-            _device_put(exp, test_labels, mesh),
-        )
+        if streaming:
+            from surface_vision_transformers_tpu.data.pipeline import (
+                StreamingLoader,
+            )
+
+            tm, preds = trainer.evaluate_streaming(
+                test_state,
+                StreamingLoader(
+                    test_data, test_labels,
+                    batch_size=exp.training.bs_val or exp.training.bs,
+                    shuffle=False, mesh=mesh,
+                ),
+            )
+        else:
+            tm, preds = trainer.evaluate(
+                test_state,
+                _device_put(exp, test_data, mesh),
+                _device_put(exp, test_labels, mesh),
+            )
         if preds is not None:
             _write_preds_csv(run_dir / "test_preds.csv", preds, test_labels)
         results["test_mae" if not is_mpp else "test_loss"] = float(
@@ -437,11 +500,25 @@ def run_testing(
                 )
         state = _shard_state(state, mesh)
 
-        m, preds = trainer.evaluate(
-            state,
-            _device_put(exp, data, mesh),
-            _device_put(exp, labels, mesh) if labels is not None else None,
-        )
+        if _use_streaming(exp, data):
+            from surface_vision_transformers_tpu.data.pipeline import (
+                StreamingLoader,
+            )
+
+            m, preds = trainer.evaluate_streaming(
+                state,
+                StreamingLoader(
+                    data, labels,
+                    batch_size=exp.training.bs_val or exp.training.bs,
+                    shuffle=False, mesh=mesh,
+                ),
+            )
+        else:
+            m, preds = trainer.evaluate(
+                state,
+                _device_put(exp, data, mesh),
+                _device_put(exp, labels, mesh) if labels is not None else None,
+            )
     out_dir = Path(exp.ckpt_path) if exp.ckpt_path else Path(exp.logging_folder)
     if out_dir.is_file() or out_dir.suffix in (".npz", ".pt", ".pth"):
         out_dir = out_dir.parent

@@ -174,6 +174,20 @@ class DataConfig:
     dataset: str = "dHCP"
     split: str = "train"
     channels: int = 4
+    # host-streaming input pipeline (datasets larger than HBM): 'auto'
+    # streams when the device-resident epoch would need more than
+    # ``streaming_budget_gb`` of HBM (the on-device path keeps the dataset
+    # PLUS a permuted copy resident — see trainer._build_epoch_fn);
+    # 'on'/'off' force it. No reference counterpart (its only scaling
+    # mechanism is the torch DataLoader, tools/train.py:107-122).
+    streaming: str = "auto"
+    streaming_budget_gb: float = 8.0
+
+    def __post_init__(self):
+        if self.streaming not in ("auto", "on", "off"):
+            raise ValueError(
+                f"data.streaming must be 'auto'|'on'|'off', got {self.streaming!r}"
+            )
 
     def resolved_data_path(self) -> str:
         if "{}" in self.data_path:
@@ -276,6 +290,9 @@ def from_dict(raw: dict) -> Experiment:
     )
 
     d = raw.get("data", {})
+    stream_raw = d.get("streaming", "auto")
+    if isinstance(stream_raw, bool):  # YAML `streaming: true` reads natural
+        stream_raw = "on" if stream_raw else "off"
     data = DataConfig(
         data_path=d.get("data_path", ""),
         label_path=d.get("label_path", ""),
@@ -284,6 +301,8 @@ def from_dict(raw: dict) -> Experiment:
         dataset=d.get("dataset", "dHCP"),
         split=d.get("split", "train"),
         channels=int(d.get("channels", model.num_channels)),
+        streaming=str(stream_raw),
+        streaming_budget_gb=float(d.get("streaming_budget_gb", 8.0)),
     )
 
     tp = raw.get("tpu", {})
