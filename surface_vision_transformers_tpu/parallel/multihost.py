@@ -31,6 +31,19 @@ from jax.sharding import Mesh, NamedSharding
 from surface_vision_transformers_tpu.parallel.mesh import batch_pspec
 
 
+def _backends_are_initialized() -> bool:
+    """True if any XLA backend is already live. JAX has no public probe that
+    doesn't itself initialize a backend (jax.devices() would), so this tries
+    the private helper and FAILS OPEN: without it we skip the refuse-late-init
+    guard and rely on ``jax.distributed.initialize``'s own ordering error."""
+    try:
+        from jax._src import xla_bridge as _xb  # no public equivalent
+
+        return bool(_xb.backends_are_initialized())
+    except Exception:
+        return False
+
+
 def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -45,12 +58,9 @@ def initialize_multihost(
     JAX_PROCESS_ID (read here and forwarded — JAX itself only knows the
     first). No-op when nothing requests multi-process. Returns
     ``jax.process_index()``."""
-    from jax._src import distributed as _dist
-    from jax._src import xla_bridge as _xb
-
-    if _dist.global_state.client is not None:
-        # already initialized (checked without touching the local backend,
-        # which would make initialize() below impossible)
+    if jax.distributed.is_initialized():
+        # already initialized (public check; does not touch the local
+        # backend, which would make initialize() below impossible)
         return jax.process_index()
     env = os.environ
     coordinator_address = coordinator_address or env.get(
@@ -61,7 +71,7 @@ def initialize_multihost(
     if process_id is None and env.get("JAX_PROCESS_ID"):
         process_id = int(env["JAX_PROCESS_ID"])
     explicit = coordinator_address is not None or num_processes is not None
-    if explicit and _xb.backends_are_initialized():
+    if explicit and _backends_are_initialized():
         # degrading to single-process here would silently train a wrong
         # global batch on every host — refuse instead
         raise RuntimeError(
@@ -71,7 +81,7 @@ def initialize_multihost(
         )
     if explicit or (
         env.get("TPU_WORKER_HOSTNAMES")  # Cloud TPU pod slice auto-detect
-        and not _xb.backends_are_initialized()
+        and not _backends_are_initialized()
     ):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
