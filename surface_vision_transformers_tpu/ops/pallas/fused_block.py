@@ -65,6 +65,11 @@ def _softmax_rows(s, fast: bool):
 
 
 
+# epoch-level sweep overrides for the backward kernel's group / prob-cache
+# policy (scripts/exp_bwd_epoch.py); None -> shipped defaults
+_BWD_GROUP: int | None = None
+_BWD_CACHE = None
+
 # flattened-group VMEM working-set budget, calibrated so every MEASURED
 # optimum stays untouched (SiT-base fwd G=8 estimates ~68M and is the
 # fastest) while unmeasured larger shapes (e.g. dim 1024, mlp 4096: ~91M at
@@ -233,8 +238,11 @@ def fused_block(
     if N % 8 != 0:
         raise NotImplementedError("fused_block requires N % 8 == 0")
     vl = N if valid_len is None else int(valid_len)
-    G = _fit_group(group or _clamp_group(
-        _auto_group(dim), N, dim, w_fc1.shape[1], w_qkv.shape[1]
+    # an EXPLICIT group is budget-clamped too (ADVICE r2): a caller-chosen
+    # large G on a big shape must degrade to a smaller G, not fail Mosaic
+    # compilation against vmem_limit_bytes
+    G = _fit_group(_clamp_group(
+        group or _auto_group(dim), N, dim, w_fc1.shape[1], w_qkv.shape[1]
     ), B)
 
     def vec(v):  # 1-D params as (1, dim) VMEM rows
@@ -326,7 +334,7 @@ def _block_bwd_kernel(
     dx_ref,
     dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
     dln2_s_ref, dln2_b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref,
-    *, heads, dim_head, valid_len, ln_eps, group, fast_softmax,
+    *, heads, dim_head, valid_len, ln_eps, group, fast_softmax, cache_probs,
 ):
     first = pl.program_id(0) == 0
     np_ = x_ref.shape[1]
@@ -349,27 +357,44 @@ def _block_bwd_kernel(
     g = g_ref[...].reshape(group * np_, dim).astype(jnp.float32)
 
     # ---- forward recompute: attention branch to x1 ----
-    # the normalized probabilities are cached per (sample, head) and reused
-    # by the gradient loop below — the scores GEMM and softmax run ONCE
+    # ``cache_probs``: keep the per-(sample, head) normalized probabilities
+    # (fp32 (Np, Np) tiles) live across the MLP section for the gradient
+    # loop — cheapest at small G. At larger G those long-lived tiles are
+    # what spills VMEM, so the gradient loop instead RECOMPUTES scores +
+    # softmax per (sample, head) (flash-attention style): +1 scores GEMM
+    # and exp per head, but the live set during both loops stays tiny.
     h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
     h1 = h1f.astype(x.dtype)
     qkv = _mm(h1, wqkv_ref[:]).astype(x.dtype)  # (G*Np, 3*hd)
+
+    def attn_probs(qkv_g, hh):
+        q = qkv_g[:, hh * dim_head:(hh + 1) * dim_head]
+        k = qkv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+        s = _mm(q, k, ((1,), (1,))) * scale
+        s = jnp.where(col < valid_len, s, _NEG_INF)
+        p, l = _softmax_rows(s, fast_softmax)
+        ok = (s <= _CLAMP) if fast_softmax else None
+        return p / l, ok
 
     att_rows, pn_parts, ok_parts = [], [], []
     for g_i in range(group):
         qkv_g = qkv[g_i * np_:(g_i + 1) * np_]
         att_parts = []
         for hh in range(heads):
-            q = qkv_g[:, hh * dim_head:(hh + 1) * dim_head]
-            k = qkv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
             v = qkv_g[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
-            s = _mm(q, k, ((1,), (1,))) * scale
-            s = jnp.where(col < valid_len, s, _NEG_INF)
-            p, l = _softmax_rows(s, fast_softmax)
-            pn = p / l
-            pn_parts.append(pn)
-            # where the overflow clamp binds, d(exp(min(s,C)))/ds = 0
-            ok_parts.append((s <= _CLAMP) if fast_softmax else None)
+            pn, ok = attn_probs(qkv_g, hh)
+            if cache_probs == "compact":
+                # one x.dtype tile per (sample, head): probs with the clamp
+                # indicator folded into the SIGN bit (pn >= 0 always, so
+                # sign(cached) == ok; pn == 0 rows decode ok=True, where ds
+                # is 0 anyway). Quarter the fp32+mask cache footprint.
+                enc = pn if ok is None else jnp.where(ok, pn, -pn)
+                pn_parts.append(enc.astype(x.dtype))
+                ok_parts.append(None)
+            elif cache_probs:
+                pn_parts.append(pn)
+                # where the overflow clamp binds, d(exp(min(s,C)))/ds = 0
+                ok_parts.append(ok)
             att_parts.append(_mm(pn.astype(v.dtype), v).astype(x.dtype))
         att_rows.append(jnp.concatenate(att_parts, axis=-1))
     a = jnp.concatenate(att_rows, axis=0)  # (G*Np, hd) bf16
@@ -411,16 +436,24 @@ def _block_bwd_kernel(
             k = qkv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
             v = qkv_g[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
             da_h = da_g[:, hh * dim_head:(hh + 1) * dim_head]
-            # cached from the recompute loop; zero padding ROWS so their
-            # cotangents don't leak into the weight grads
-            p = jnp.where(row < valid_len, pn_parts[g_i * heads + hh], 0.0)
+            if cache_probs == "compact":
+                enc = pn_parts[g_i * heads + hh].astype(jnp.float32)
+                pn = jnp.abs(enc)
+                ok = enc >= 0.0 if fast_softmax else None
+            elif cache_probs:
+                pn, ok = pn_parts[g_i * heads + hh], ok_parts[g_i * heads + hh]
+            else:
+                pn, ok = attn_probs(qkv_g, hh)
+            # zero padding ROWS so their cotangents don't leak into the
+            # weight grads
+            p = jnp.where(row < valid_len, pn, 0.0)
             pb = p.astype(x.dtype)
             dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
             dp = _mm(da_h, v, ((1,), (1,)))  # (Np, Np) f32
             delta = jnp.sum(p * dp, axis=-1, keepdims=True)
             ds = p * (dp - delta) * scale
-            if ok_parts[g_i * heads + hh] is not None:
-                ds = jnp.where(ok_parts[g_i * heads + hh], ds, 0.0)
+            if ok is not None:
+                ds = jnp.where(ok, ds, 0.0)
             ds = ds.astype(x.dtype)
             dq_parts.append(_mm(ds, k).astype(x.dtype))
             dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))
@@ -456,15 +489,26 @@ def _block_bwd_kernel(
 def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
                ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
                *, heads, dim_head, valid_len, ln_eps, group: int | None = None,
-               fast_softmax: bool = True):
+               fast_softmax: bool = True, cache_probs: bool | None = None):
     """Single-kernel block backward with the G samples FLATTENED into every
     GEMM's M dimension (per-sample grouping was neutral; flattened grouping
-    is a real win — 2.61 -> 1.66 ms/block at G=4, SiT-tiny B=256 v5e). VMEM
-    grows with G (G*heads cached (Np, Np) fp32 prob tiles): G=8 spills and
-    regresses to 3.3 ms; None -> measured per-dim default (_auto_group)."""
+    is a real win — 2.61 -> 1.66 ms/block at G=4, SiT-tiny B=256 v5e).
+
+    ``cache_probs=True`` keeps the (Np, Np) fp32 probability tiles from the
+    forward recompute live for the gradient loop; their G*heads working set
+    is what used to cap G at 4. ``False`` recomputes scores+softmax in the
+    gradient loop instead (one extra scores GEMM per head; measured SLOWER —
+    4.26 vs 1.85 ms at G=4 on v5e). ``"compact"`` caches in x.dtype with the
+    clamp indicator folded into the sign bit (quarter footprint for bf16
+    inputs, bitwise-identical grads for fp32 inputs). ``None`` -> policy
+    (module overrides _BWD_GROUP/_BWD_CACHE exist for epoch-level sweeps)."""
     B, N, dim = x.shape
     mlp = w_fc1.shape[1]
     hd = heads * dim_head
+    if cache_probs is None:
+        cache_probs = True if _BWD_CACHE is None else _BWD_CACHE
+    if group is None:
+        group = _BWD_GROUP
     G = _fit_group(group or _clamp_group(
         _auto_group(dim, bwd=True), N, dim, mlp, 3 * hd, heads=heads,
         bwd=True,
@@ -504,7 +548,7 @@ def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
         functools.partial(
             _block_bwd_kernel, heads=heads, dim_head=dim_head,
             valid_len=valid_len, ln_eps=ln_eps, group=G,
-            fast_softmax=fast_softmax,
+            fast_softmax=fast_softmax, cache_probs=cache_probs,
         ),
         out_shape=out_shapes,
         grid=(B // G,),
@@ -707,8 +751,9 @@ def fused_block_cls(
         raise NotImplementedError("fused_block_cls requires N % 8 == 0")
     vl = N if valid_len is None else int(valid_len)
     hd = heads * dim_head
-    G = _fit_group(group or _clamp_group_cls(
-        _auto_group(dim), N, dim, 3 * hd
+    # explicit group clamped like fused_block (ADVICE r2)
+    G = _fit_group(_clamp_group_cls(
+        group or _auto_group(dim), N, dim, 3 * hd
     ), B)
 
     def vec(v):
