@@ -142,17 +142,24 @@ class Trainer:
 
         if mask_decoder:
             # reproduce the reference quirk: decoder params get zero updates
-            # (reference tools/pretrain.py:269-280 optimizes the encoder only)
-            def mask_fn(params):
+            # (reference tools/pretrain.py:269-280 optimizes the encoder
+            # only). NOTE: optax.masked alone is WRONG here — masked-out
+            # leaves pass their updates (the raw gradients!) through
+            # unchanged, which silently gradient-ASCENDS the decoder;
+            # multi_transform routes them to set_to_zero instead.
+            def labels(params):
                 return jax.tree_util.tree_map_with_path(
-                    lambda path, _: not any(
+                    lambda path, _: "freeze" if any(
                         getattr(k, "key", None) in ("to_original", "mask_token")
                         for k in path
-                    ),
+                    ) else "train",
                     params,
                 )
 
-            self.optimizer = optax.masked(self.optimizer, mask_fn)
+            self.optimizer = optax.multi_transform(
+                {"train": self.optimizer, "freeze": optax.set_to_zero()},
+                labels,
+            )
 
     # -- initialization -----------------------------------------------------
 

@@ -187,3 +187,35 @@ def test_streaming_loader_padding_and_memmap(tmp_path):
     np.testing.assert_array_equal(np.asarray(w), [1, 1, 0, 0])
     with pytest.raises(ValueError):
         StreamingLoader(data, np.arange(9.0), batch_size=4)
+
+
+def test_mpp_optimize_decoder_false_freezes_decoder(synth):
+    """The reference quirk (optimize_decoder: False -> encoder-only updates,
+    reference tools/pretrain.py:269-280) must actually FREEZE to_original and
+    mask_token. Regression: optax.masked alone passes the raw gradients of
+    masked-out leaves through as updates (gradient ascent on the decoder) —
+    caught by the full-recipe MPP trajectory test."""
+    import jax
+
+    data, labels = synth
+    raw = tiny_config(epochs=2, val_epoch=1)
+    raw["SSL"] = "mpp"
+    raw["pretraining_mpp"] = {"mask_prob": 0.5, "replace_prob": 0.8,
+                              "swap_prob": 0.02, "optimize_decoder": False}
+    exp = from_dict(raw)
+    t = Trainer(exp, model=_model_override(exp))
+    state = t.init_state(data[:1])
+    before = jax.tree.map(np.asarray, state.params)
+    state, m = t.train_epoch(state, jnp.asarray(data), None)
+    after = jax.tree.map(np.asarray, state.params)
+    assert np.isfinite(m.loss)
+    np.testing.assert_array_equal(after["to_original"]["kernel"],
+                                  before["to_original"]["kernel"])
+    np.testing.assert_array_equal(after["to_original"]["bias"],
+                                  before["to_original"]["bias"])
+    np.testing.assert_array_equal(after["mask_token"], before["mask_token"])
+    # and the encoder DID train
+    assert not np.allclose(
+        after["encoder"]["patch_embedding_kernel"],
+        before["encoder"]["patch_embedding_kernel"],
+    )
