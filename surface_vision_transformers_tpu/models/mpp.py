@@ -42,12 +42,22 @@ from surface_vision_transformers_tpu.ops import normalize_tokens, patchify, rear
 def exact_count_mask(key: jax.Array, batch: int, seq_len: int, prob: float):
     """Boolean (batch, seq_len) mask with exactly ceil(prob*seq_len) True per
     row, positions chosen uniformly (rand + top-k, matching reference
-    models/mpp.py:25-39)."""
+    models/mpp.py:25-39 in distribution).
+
+    When more than half the row is masked (the recipe's 0.75), the top-k
+    selects the COMPLEMENT — the ceil((1-prob)*L) kept positions — since a
+    uniform size-k subset's complement is a uniform size-(L-k) subset and
+    lax.top_k cost grows with k (240 -> 80 for the recipe)."""
     n_masked = math.ceil(prob * seq_len)
     rand = jax.random.uniform(key, (batch, seq_len))
+    rows = jnp.arange(batch)[:, None]
+    if n_masked > seq_len // 2:
+        _, idx = jax.lax.top_k(-rand, seq_len - n_masked)
+        mask = jnp.ones((batch, seq_len), bool)
+        return mask.at[rows, idx].set(False), n_masked
     _, idx = jax.lax.top_k(rand, n_masked)
     mask = jnp.zeros((batch, seq_len), bool)
-    return mask.at[jnp.arange(batch)[:, None], idx].set(True), n_masked
+    return mask.at[rows, idx].set(True), n_masked
 
 
 def corrupt_sequence(
@@ -74,8 +84,11 @@ def corrupt_sequence(
         swap_sel = jax.random.uniform(k_swapsel, (B, L)) < swap_rate
         swap_sel = jnp.logical_and(mask, swap_sel)
         rand_idx = jax.random.randint(k_swapidx, (B, L), 0, L)
-        swapped = jnp.take_along_axis(corrupted, rand_idx[:, :, None], axis=1)
-        corrupted = jnp.where(swap_sel[:, :, None], swapped, corrupted)
+        # one gather with self-indices on unswapped rows, instead of a full
+        # (B, L, D) gather PLUS a (B, L, D) where-select (halves the hot
+        # traffic; ~92% of rows keep themselves at the recipe's rates)
+        idx = jnp.where(swap_sel, rand_idx, jnp.arange(L)[None, :])
+        corrupted = jnp.take_along_axis(corrupted, idx[:, :, None], axis=1)
 
     repl_sel = jax.random.uniform(k_repl, (B, L)) < replace_prob
     repl_sel = jnp.logical_and(mask, repl_sel)

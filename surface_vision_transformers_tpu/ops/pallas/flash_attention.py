@@ -44,9 +44,15 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_group(bh: int) -> int:
+def _pick_group(bh: int, itemsize: int = 2) -> int:
+    """Per-program sample group. 4-byte inputs halve the group: the fp32
+    working set is 2x, and with grid > 1 Mosaic double-buffers the input
+    blocks — fp32 G=4 at Np=384 overflowed the 16 MB scoped-VMEM stack at
+    B=256 while the same shape passed at B=4 (grid 1, no double buffer);
+    caught by the flagship-shape TPU test."""
+    cap = 4 if itemsize <= 2 else 2
     for g in (4, 2):
-        if bh % g == 0:
+        if g <= cap and bh % g == 0:
             return g
     return 1
 
@@ -142,7 +148,7 @@ def _prep(q, k, v, g=None):
 def _fwd(q, k, v, valid_len):
     qf, kf, vf, _, (B, H, Nq, Nk, D, Npq, Npk) = _prep(q, k, v)
     scale = D ** -0.5
-    G = _pick_group(B * H)
+    G = _pick_group(B * H, q.dtype.itemsize)
     blk_q = pl.BlockSpec((G, Npq, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     blk_k = pl.BlockSpec((G, Npk, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
@@ -170,7 +176,7 @@ def _fwd(q, k, v, valid_len):
 def _bwd_impl(q, k, v, lse, g, valid_len):
     qf, kf, vf, gf, (B, H, Nq, Nk, D, Npq, Npk) = _prep(q, k, v, g)
     scale = D ** -0.5
-    G = _pick_group(B * H)
+    G = _pick_group(B * H, q.dtype.itemsize)
     blk_q = pl.BlockSpec((G, Npq, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     blk_k = pl.BlockSpec((G, Npk, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lse_blk = pl.BlockSpec((G, Npq, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -331,7 +337,7 @@ def _fwd_packed(qkv, valid_len, heads):
     B, Np, F = qkv.shape
     dh = F // (3 * heads)
     scale = dh ** -0.5
-    G = _pick_group(B)
+    G = _pick_group(B, qkv.dtype.itemsize)
     blk_in = pl.BlockSpec((G, Np, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     blk_out = pl.BlockSpec(
         (G, Np, F // 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -362,7 +368,9 @@ def _bwd_packed(qkv, lse, g, valid_len, heads):
     scale = dh ** -0.5
     # backward holds ~3 (Np,Np) fp32 temporaries per unrolled head iteration;
     # G=4 overflows the 16 MB VMEM scoped stack at Np=384, H=3; G=2 fits
-    G = 2 if B % 2 == 0 else 1
+    # (bf16); fp32 inputs halve again (double-buffered blocks, see
+    # _pick_group)
+    G = (2 if qkv.dtype.itemsize <= 2 else 1) if B % 2 == 0 else 1
     blk_in = pl.BlockSpec((G, Np, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     blk_o = pl.BlockSpec(
         (G, Np, F // 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -575,7 +583,8 @@ def _fwd_packed_drop(qkv, valid_len, heads, rate, seed):
     threshold, inv_keep = _dropout_consts(rate)
     # the (Np, Np) random-bits + keep temporaries add VMEM pressure vs the
     # plain packed kernel; G=2 stays comfortably inside the scoped stack
-    G = 2 if B % 2 == 0 else 1
+    # (bf16); fp32 inputs halve again (see _pick_group)
+    G = (2 if qkv.dtype.itemsize <= 2 else 1) if B % 2 == 0 else 1
     blk_in, sm_spec = _drop_specs(B, Np, F, heads, G, use_prng)
     sm_arg = (
         seed.reshape(1).astype(jnp.int32)

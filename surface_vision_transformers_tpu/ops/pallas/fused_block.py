@@ -564,6 +564,86 @@ def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     )(*in_arrays)
 
 
+def _xla_block_ref(
+    x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+    ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+    *, heads, dim_head, valid_len, ln_eps, fast_softmax=True,
+):
+    """jnp-only mirror of _block_kernel (same math: fp32 LN, unshifted
+    clamped softmax, tanh GELU, same cast points). Differentiable by plain
+    autodiff — the structural BACKWARD FALLBACK when the single-kernel
+    backward's weight-grad accumulators + working set exceed what Mosaic can
+    hold in VMEM (large dims; see _bwd_kernel_feasible). As pure XLA it is
+    also GSPMD-partitionable."""
+    B, N, dim = x.shape
+    hd = heads * dim_head
+    scale = dim_head ** -0.5
+    dt = x.dtype
+    h = _layer_norm(x, ln1_scale.astype(jnp.float32),
+                    ln1_bias.astype(jnp.float32), ln_eps).astype(dt)
+    qkv = jax.lax.dot_general(
+        h, w_qkv, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+
+    def heads_t(t):
+        return t.reshape(B, N, heads, dim_head).transpose(0, 2, 1, 3)
+
+    q = heads_t(qkv[..., :hd])
+    k = heads_t(qkv[..., hd:2 * hd])
+    v = heads_t(qkv[..., 2 * hd:])
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = jnp.where((jnp.arange(N) < valid_len)[None, None, None, :], s,
+                  _NEG_INF)
+    if fast_softmax:
+        p = jnp.exp(jnp.minimum(s, _CLAMP))
+        l = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dt), v,
+                   preferred_element_type=jnp.float32)
+    a = (o / l).astype(dt).transpose(0, 2, 1, 3).reshape(B, N, hd)
+    attn = jax.lax.dot_general(
+        a, w_out, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_out.astype(jnp.float32)
+    x1 = (x.astype(jnp.float32) + attn).astype(dt)
+
+    h2 = _layer_norm(x1, ln2_scale.astype(jnp.float32),
+                     ln2_bias.astype(jnp.float32), ln_eps).astype(dt)
+    f = jax.lax.dot_general(
+        h2, w_fc1, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_fc1.astype(jnp.float32)
+    c = 0.7978845608028654
+    f = (0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f * f * f)))).astype(dt)
+    f = jax.lax.dot_general(
+        f, w_fc2, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_fc2.astype(jnp.float32)
+    return (x1.astype(jnp.float32) + f).astype(dt)
+
+
+def _bwd_kernel_feasible(N: int, dim: int, mlp: int, hd: int,
+                         heads: int) -> bool:
+    """Can the single-kernel backward hold its VMEM-resident weight-grad
+    accumulators PLUS a G=1 working set? The accumulators (dwqkv, dwout,
+    dwfc1, dwfc2 in fp32) live across the whole grid with constant index
+    maps, and Mosaic's register-allocator spill slots amplify the live set —
+    measured on chip: dim 512/mlp 2048 (estimate 30M) compiles; dim 768/mlp
+    3072 (54M) and dim 1024/mlp 4096 (85M; 183M actual with 115M of spill
+    slots) both fail Mosaic compilation. The 40M bound keeps every
+    measured-good shape and routes larger ones to the XLA fallback — which
+    also un-blocks SiT-base (dim 768) fused training on chip."""
+    acc = (dim * 3 * hd + hd * dim + 2 * dim * mlp) * 4
+    work = (N * (mlp * 4 + 3 * hd * 2 + dim * 12)
+            + heads * N * N * 8 + N * (mlp * 4 + dim * 12))
+    return acc + work <= 40 * 1024 * 1024
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15)
 )
@@ -602,6 +682,18 @@ def _fbt_bwd(heads, dim_head, valid_len, ln_eps, res, g):
     (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
      ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2) = res
     vl = x.shape[1] if valid_len is None else int(valid_len)
+    if not _bwd_kernel_feasible(x.shape[1], x.shape[2], w_fc1.shape[1],
+                                heads * dim_head, heads):
+        # large-dim fallback: autodiff through the XLA mirror of the block
+        _, vjp = jax.vjp(
+            functools.partial(
+                _xla_block_ref, heads=heads, dim_head=dim_head, valid_len=vl,
+                ln_eps=ln_eps,
+            ),
+            x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+        )
+        return vjp(g)
     (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
      dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = _block_bwd(
         x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
@@ -1053,6 +1145,21 @@ def _fbct_bwd(heads, dim_head, valid_len, ln_eps, res, g):
     (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
      ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2) = res
     vl = x.shape[1] if valid_len is None else int(valid_len)
+    if not _bwd_kernel_feasible(x.shape[1], x.shape[2], w_fc1.shape[1],
+                                heads * dim_head, heads):
+        # same large-dim fallback as _fbt_bwd (the cls backward carries the
+        # same VMEM-resident weight-grad accumulators); cotangent covers the
+        # first 8 rows only
+        rows = g.shape[1]
+        _, vjp = jax.vjp(
+            lambda *a: _xla_block_ref(
+                *a, heads=heads, dim_head=dim_head, valid_len=vl,
+                ln_eps=ln_eps,
+            )[:, :rows],
+            x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+        )
+        return vjp(g)
     (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
      dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = _block_cls_bwd(
         x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,

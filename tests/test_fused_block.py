@@ -298,3 +298,68 @@ def test_cls_blocks_grouped_match_ungrouped():
     for a, b in zip(bwd[1], bwd[2]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_large_dim_bwd_fallback_grads_match_autodiff():
+    """At dims where the single-kernel backward cannot fit VMEM
+    (_bwd_kernel_feasible False — e.g. dim 1024: 183M measured vs the 128M
+    chip), fused_block_train's VJP routes through autodiff of the XLA block
+    mirror. The gradients must still match jax.grad through an explicit
+    einsum block (same contract as the kernel backward)."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        _bwd_kernel_feasible, fused_block_train,
+    )
+
+    N, dim, heads, dh, mlp = 48, 1024, 4, 256, 4096
+    hd = heads * dh
+    assert not _bwd_kernel_feasible(N, dim, mlp, hd, heads)
+    rng = np.random.default_rng(5)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.02, jnp.float32)
+
+    x = mk(2, N, dim)
+    w = (mk(dim) + 1, mk(dim), mk(dim, 3 * hd), mk(hd, dim), mk(dim),
+         mk(dim) + 1, mk(dim), mk(dim, mlp), mk(mlp), mk(mlp, dim), mk(dim))
+    vl = 40
+
+    def explicit(args, xx):
+        (l1s, l1b, wqkv, wout, bout, l2s, l2b, wfc1, bfc1, wfc2, bfc2) = args
+
+        def ln(t, s, b):
+            mu = t.mean(-1, keepdims=True)
+            var = ((t - mu) ** 2).mean(-1, keepdims=True)
+            return (t - mu) * jax.lax.rsqrt(var + 1e-5) * s + b
+
+        h = ln(xx, l1s, l1b)
+        qkv = h @ wqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def hsplit(t):
+            return t.reshape(2, N, heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = hsplit(q), hsplit(k), hsplit(v)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * dh**-0.5
+        s = jnp.where((jnp.arange(N) < vl)[None, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, -1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(2, N, hd)
+        x1 = xx + o @ wout + bout
+        h2 = ln(x1, l2s, l2b)
+        f = h2 @ wfc1 + bfc1
+        c = 0.7978845608028654
+        f = 0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f**3)))
+        return x1 + f @ wfc2 + bfc2
+
+    def loss_k(args):
+        return jnp.mean(fused_block_train(x, *args, heads, dh, vl)[:, :vl] ** 2)
+
+    def loss_e(args):
+        return jnp.mean(explicit(args, x)[:, :vl] ** 2)
+
+    lk, gk = jax.value_and_grad(loss_k)(w)
+    le, ge = jax.value_and_grad(loss_e)(w)
+    assert abs(float(lk) - float(le)) < 1e-4, (float(lk), float(le))
+    for a, b in zip(gk, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)

@@ -239,6 +239,182 @@ def test_cross_length_flash_attention_compiled():
                                    atol=5e-4, rtol=5e-3)
 
 
+@pytest.fixture(scope="module")
+def flagship():
+    """The BENCH configuration (VERDICT r2 #5): depth-12 SiT-tiny at B=256,
+    bf16, raw-vertex input — the exact shape that produces the headline
+    numbers (grid/G/VMEM pressure all match bench.py), previously exercised
+    only by the benchmark itself."""
+    from surface_vision_transformers_tpu.utils.env import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    table = load_patch_table(6, 2)
+    key = jax.random.PRNGKey(7)
+    model32 = SiT(dim=192, depth=12, heads=3, mlp_dim=768,
+                  num_patches=320, num_vertices=153,
+                  patch_table=table.indices, dtype=jnp.float32)
+    model16 = SiT(dim=192, depth=12, heads=3, mlp_dim=768,
+                  num_patches=320, num_vertices=153,
+                  patch_table=table.indices)
+    x = jax.random.normal(key, (256, 4, 40962)) * 0.5
+    params = model32.init(key, x[:1])
+    return model32, model16, params, x
+
+
+def test_fused_forward_flagship_shape(flagship):
+    """fused_forward at the flagship shape (B=256, depth 12, bf16, G=8
+    flattened groups, CLS final block) against the fp32 modular forward —
+    a Mosaic miscompile specific to the large grid/VMEM configuration would
+    surface here, not just in bench numbers."""
+    model32, model16, params, x = flagship
+    ref = jax.jit(lambda p, xx: model32.apply(p, xx))(params, x)
+    out = jax.jit(lambda p, xx: fused_forward(model16, p, xx))(params, x)
+    d = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+    scale = float(jnp.abs(ref).max()) + 1e-3
+    assert np.isfinite(np.asarray(out)).all()
+    assert d < 0.1 * max(scale, 1.0), (d, scale)
+
+
+def test_train_step_flagship_batch(flagship):
+    """One real train step at the recipe batch (B=256, depth 12, bf16,
+    fused_train path incl. the single-kernel backward at its production
+    G/grid): finite loss, finite param update, loss decreases over 2 epochs
+    of a learnable relationship."""
+    _, model16, _, x = flagship
+    exp = from_dict({
+        "resolution": {"ico": 6, "sub_ico": 2},
+        "transformer": {"dim": 192, "depth": 12, "heads": 3, "mlp_dim": 768},
+        "training": {"LR": 1e-3, "bs": 256, "epochs": 1},
+        "optimisation": {"optimiser": "SGD"},
+        "SGD": {"momentum": 0.9},
+    })
+    trainer = Trainer(exp, model=model16)
+    assert trainer._use_fused_train()
+    yb = jnp.asarray(np.asarray(x[:, 0, :8].mean(axis=1)))
+    state = trainer.init_state(x[:1])
+    losses = []
+    for _ in range(2):
+        state, m = trainer.train_epoch(state, x, yb)
+        losses.append(m.loss)
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(state.params)[0], np.float32)
+    ).all()
+
+
+@pytest.mark.parametrize("dim,mlp,heads", [(512, 2048, 8), (768, 3072, 12),
+                                           (1024, 4096, 16)])
+def test_large_dim_blocks_compile_first_try(dim, mlp, heads):
+    """VMEM-robustness beyond the measured shapes (VERDICT r2 #8): forward
+    AND backward of the differentiable fused block must compile and run
+    first try at dims never benchmarked. dim 512 exercises the single-kernel
+    backward near its VMEM ceiling; dim 768 (SiT-base!) and dim 1024 take
+    the structural XLA-backward fallback (_bwd_kernel_feasible) — both
+    previously blew Mosaic's VMEM (dim 1024: 183M of 128M, mostly
+    register-spill slots from the weight-grad accumulators)."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        fused_block, fused_block_train,
+    )
+
+    dh = 64
+    hd = heads * dh
+    B, N, vl = 8, 328, 321
+    rng = np.random.default_rng(3)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.05, jnp.bfloat16)
+
+    x = mk(B, N, dim)
+    w = (jnp.ones((dim,), jnp.float32), jnp.zeros((dim,), jnp.float32),
+         mk(dim, 3 * hd), mk(hd, dim), jnp.zeros((dim,), jnp.float32),
+         jnp.ones((dim,), jnp.float32), jnp.zeros((dim,), jnp.float32),
+         mk(dim, mlp), jnp.zeros((mlp,), jnp.float32), mk(mlp, dim),
+         jnp.zeros((dim,), jnp.float32))
+
+    out = jax.jit(lambda xx: fused_block(
+        xx, *w, heads=heads, dim_head=dh, valid_len=vl))(x)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    grads = jax.jit(jax.grad(lambda xx: jnp.mean(
+        fused_block_train(xx, *w, heads, dh, vl).astype(jnp.float32) ** 2
+    )))(x)
+    assert np.isfinite(np.asarray(grads, np.float32)).all()
+
+
+def test_dropout_grad_regenerates_forward_mask():
+    """ADVICE r2: the dropout kernel's backward REGENERATES the Mosaic PRNG
+    mask instead of storing it — if its bits ever diverged from the
+    forward's, gradients would be silently biased while every CPU test
+    passes. The mask is data-independent (seeded by (seed, batch, head)),
+    so it can be RECOVERED exactly by calling the kernel with basis-vector
+    values; the kernel's gradient must then match jax.grad through an
+    explicit einsum attention using that recovered mask as a constant."""
+    from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+        flash_attention_qkv_dropout,
+    )
+
+    Bq, N, H, Dh = 4, 128, 3, 64
+    rate, vl = 0.3, 100
+    key = jax.random.PRNGKey(11)
+    qkv = jax.random.normal(key, (Bq, N, 3 * H * Dh), jnp.float32) * 0.3
+    seed = jnp.array(321, jnp.int32)
+    kern = jax.jit(
+        lambda q: flash_attention_qkv_dropout(q, H, vl, rate, seed)
+    )
+
+    # recover the realized (dropped, 1/(1-rate)-scaled) probability matrix
+    # M[b,h,i,j] by substituting per-head basis values: same q/k (same
+    # scores), v := one-hot columns
+    q_sec, k_sec, _ = jnp.split(qkv, 3, axis=-1)
+    M_parts = []
+    for off in range(0, N, Dh):
+        basis = jnp.zeros((N, Dh), jnp.float32).at[
+            jnp.arange(Dh) + off, jnp.arange(Dh)
+        ].set(1.0)
+        v_basis = jnp.tile(basis[None, :, :], (Bq, 1, H)).reshape(
+            Bq, N, H * Dh
+        )
+        out_b = kern(jnp.concatenate([q_sec, k_sec, v_basis], axis=-1))
+        M_parts.append(
+            out_b.reshape(Bq, N, H, Dh).transpose(0, 2, 1, 3)
+        )  # (B, H, N, Dh) = M[..., off:off+Dh]
+    M = jnp.concatenate(M_parts, axis=-1)  # (B, H, N, N)
+
+    def heads_t(t):
+        return t.reshape(Bq, N, H, Dh).transpose(0, 2, 1, 3)
+
+    def explicit(qkv_, keep):
+        q, k, v = jnp.split(qkv_, 3, axis=-1)
+        q, k, v = heads_t(q), heads_t(k), heads_t(v)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * Dh**-0.5
+        s = jnp.where((jnp.arange(N) < vl)[None, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1) * keep / (1.0 - rate)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+        return o.transpose(0, 2, 1, 3).reshape(Bq, N, H * Dh)
+
+    # the recovered mask reproduces the forward...
+    keep = (M > 0).astype(jnp.float32)
+    out_k = kern(qkv)
+    out_e = jax.jit(explicit)(qkv, keep)
+    np.testing.assert_allclose(np.asarray(out_k)[:, :vl],
+                               np.asarray(out_e)[:, :vl],
+                               atol=5e-4, rtol=5e-3)
+
+    # ...and the kernel's regenerated-mask BACKWARD matches the explicit
+    # gradient under that same mask — bit-divergent backward bits would
+    # show up as O(dropout)-sized gradient errors here
+    g_k = jax.jit(jax.grad(lambda q: (kern(q)[:, :vl] ** 2).sum()))(qkv)
+    g_e = jax.jit(jax.grad(
+        lambda q: (explicit(q, keep)[:, :vl] ** 2).sum()
+    ))(qkv)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_e),
+                               atol=1e-3, rtol=5e-3)
+
+
 def test_dropout_kernel_compiled():
     """In-kernel PRNG dropout (compiled Mosaic): reproducible for a fixed
     seed, distinct across seeds, rate->0 bit-equal to the plain packed
