@@ -139,32 +139,39 @@ def main():
     details["train"]["best_surfaces_per_s"] = round(best_train, 1)
 
     # MPP pretraining throughput (reference config/SiT/pretraining/mpp.yml
-    # recipe semantics: mask 0.75 / replace 0.8 / swap 0.02, Adam) at a
-    # saturating batch — the fused-encoder path the pretrain driver uses
-    n_mpp, bs_mpp = 2048, 512
-    xb = jax.random.normal(key, (n_mpp, 4, 40962), jnp.bfloat16)
-    exp_mpp = from_dict({
-        "resolution": {"ico": 6, "sub_ico": 2},
-        "transformer": {"dim": 192, "depth": 12, "heads": 3, "mlp_dim": 768},
-        "training": {"LR": 3e-4, "bs": bs_mpp, "epochs": 1},
-        "optimisation": {"optimiser": "Adam"},
-        "SSL": "mpp",
-        "pretraining_mpp": {"mask_prob": 0.75, "replace_prob": 0.8,
-                            "swap_prob": 0.02},
-    })
-    trainer_mpp = Trainer(exp_mpp, patch_table=table.indices)
-    state_mpp = trainer_mpp.init_state(xb[:1])
-    t0 = time.perf_counter()
-    state_mpp, _ = trainer_mpp.train_epoch(state_mpp, xb, None)  # compile
-    compile_mpp = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    state_mpp, _ = trainer_mpp.train_epoch(state_mpp, xb, None)
-    mpp_s = time.perf_counter() - t0
-    details["mpp_pretrain"] = {
-        "bs": bs_mpp, "steps": n_mpp // bs_mpp,
-        "surfaces_per_s": round(n_mpp / mpp_s, 1),
-        "compile_s": round(compile_mpp, 1),
-    }
+    # recipe semantics: mask 0.75 / replace 0.8 / swap 0.02, Adam) at
+    # saturating batches — the fused-encoder path the pretrain driver uses
+    details["mpp_pretrain"] = {}
+    best_mpp = {"surfaces_per_s": 0.0}
+    for n_mpp, bs_mpp in ((2048, 512), (4096, 1024)):
+        xb = jax.random.normal(key, (n_mpp, 4, 40962), jnp.bfloat16)
+        exp_mpp = from_dict({
+            "resolution": {"ico": 6, "sub_ico": 2},
+            "transformer": {"dim": 192, "depth": 12, "heads": 3,
+                            "mlp_dim": 768},
+            "training": {"LR": 3e-4, "bs": bs_mpp, "epochs": 1},
+            "optimisation": {"optimiser": "Adam"},
+            "SSL": "mpp",
+            "pretraining_mpp": {"mask_prob": 0.75, "replace_prob": 0.8,
+                                "swap_prob": 0.02},
+        })
+        trainer_mpp = Trainer(exp_mpp, patch_table=table.indices)
+        state_mpp = trainer_mpp.init_state(xb[:1])
+        t0 = time.perf_counter()
+        state_mpp, _ = trainer_mpp.train_epoch(state_mpp, xb, None)  # compile
+        compile_mpp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state_mpp, _ = trainer_mpp.train_epoch(state_mpp, xb, None)
+        mpp_s = time.perf_counter() - t0
+        rec = {
+            "bs": bs_mpp, "steps": n_mpp // bs_mpp,
+            "surfaces_per_s": round(n_mpp / mpp_s, 1),
+            "compile_s": round(compile_mpp, 1),
+        }
+        details["mpp_pretrain"][bs_mpp] = rec
+        if rec["surfaces_per_s"] > best_mpp["surfaces_per_s"]:
+            best_mpp = rec
+    details["mpp_pretrain"]["best_surfaces_per_s"] = best_mpp["surfaces_per_s"]
 
     # model-family variants (inference, B=256): the framework is not tuned
     # to one shape

@@ -136,8 +136,12 @@ class Trainer:
         if mesh is None and not mask_decoder:
             # one fused update over a single flat vector instead of ~150
             # per-leaf fusions — measured -8.8 ms/step for Adam on SiT-tiny
-            # (v5e). Under a mesh the per-leaf TP/FSDP shardings must
-            # survive, so the tree stays unflattened there.
+            # (v5e). Also holds for SGD at the EPOCH level (A/B: flattened
+            # 5,613 surf/s vs 5,509 raw at bs=1024), even though the
+            # ISOLATED flattened update microbenches 2.8 ms vs 0.02 raw —
+            # one more case of microbenchmarks lying on this relay; epoch
+            # numbers decide. Under a mesh the per-leaf TP/FSDP shardings
+            # must survive, so the tree stays unflattened there.
             self.optimizer = optax.flatten(self.optimizer)
 
         if mask_decoder:
