@@ -174,6 +174,71 @@ void svt_f32_to_bf16(const float* in, uint16_t* out, int64_t n) {
   parallel_for((n + block - 1) / block, bf16_body, &ctx);
 }
 
-int svt_version() { return 1; }
+// Batch-assembly row gather for the host-streaming input pipeline
+// (data/pipeline.py StreamingLoader): out[i, :] = cast_f32(src[idx[i], :]).
+// Threaded over output rows; src may be an np.memmap (page faults are
+// serviced per thread, overlapping disk reads). dtype: 0 = f32 (memcpy),
+// 1 = f64 (narrowing cast), 2 = f16 (widening cast).
+struct RowsCtx {
+  const unsigned char* src;
+  const int64_t* idx;
+  float* out;
+  int64_t row_elems;
+  int dtype;
+};
+
+static inline float f16_to_f32(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t man = h & 0x3FF;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;
+    } else {  // subnormal: normalize
+      int shift = 0;
+      while (!(man & 0x400)) { man <<= 1; ++shift; }
+      man &= 0x3FF;
+      bits = sign | ((uint32_t)(127 - 15 - shift) << 23) | (man << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7F800000u | (man << 13);  // inf/nan
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+static void rows_body(int64_t lo, int64_t hi, void* vctx) {
+  auto* ctx = static_cast<RowsCtx*>(vctx);
+  const int64_t re = ctx->row_elems;
+  for (int64_t i = lo; i < hi; ++i) {
+    float* dst = ctx->out + i * re;
+    const int64_t r = ctx->idx[i];
+    if (ctx->dtype == 0) {
+      std::memcpy(dst, ctx->src + (size_t)r * re * 4, (size_t)re * 4);
+    } else if (ctx->dtype == 1) {
+      const double* row = reinterpret_cast<const double*>(ctx->src) + r * re;
+      for (int64_t e = 0; e < re; ++e) dst[e] = (float)row[e];
+    } else {
+      const uint16_t* row = reinterpret_cast<const uint16_t*>(ctx->src) + r * re;
+      for (int64_t e = 0; e < re; ++e) dst[e] = f16_to_f32(row[e]);
+    }
+  }
+}
+
+// Returns 0 on success.
+int svt_gather_rows(const void* src, int dtype, const int64_t* idx,
+                    int64_t n_rows, int64_t row_elems, float* out) {
+  if (!src || !idx || !out || dtype < 0 || dtype > 2) return 1;
+  RowsCtx ctx{static_cast<const unsigned char*>(src), idx, out, row_elems,
+              dtype};
+  parallel_for(n_rows, rows_body, &ctx);
+  return 0;
+}
+
+int svt_version() { return 2; }
 
 }  // extern "C"

@@ -65,6 +65,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.svt_set_threads.argtypes = [ctypes.c_int]
+        if hasattr(lib, "svt_gather_rows"):  # v2+ (rebuilt libraries)
+            lib.svt_gather_rows.restype = ctypes.c_int
+            lib.svt_gather_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
         _lib = lib
         return _lib
 
@@ -129,6 +135,36 @@ def decode_gzip_base64(payload: str | bytes, out_bytes: int) -> bytes:
     if n < 0:
         raise ValueError("corrupt base64/zlib payload")
     return buf.raw[:n]
+
+
+_ROW_DTYPES = {np.dtype(np.float32): 0, np.dtype(np.float64): 1,
+               np.dtype(np.float16): 2}
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Batch assembly for the streaming pipeline: float32 out[i] = src[idx[i]]
+    with the dtype cast fused in (f32 memcpy / f64 narrowing / f16 widening).
+    Threaded over rows — on a memmap the per-thread page faults overlap the
+    disk reads, where numpy fancy indexing is serial. Falls back to numpy."""
+    idx = np.ascontiguousarray(idx, np.int64)
+    lib = _load()
+    row_shape = src.shape[1:]
+    if (
+        lib is None
+        or not hasattr(lib, "svt_gather_rows")
+        or src.dtype not in _ROW_DTYPES
+        or not src.flags["C_CONTIGUOUS"]
+    ):
+        return np.ascontiguousarray(src[idx]).astype(np.float32, copy=False)
+    out = np.empty((idx.shape[0], *row_shape), np.float32)
+    rc = lib.svt_gather_rows(
+        src.ctypes.data, _ROW_DTYPES[src.dtype], idx.ctypes.data,
+        idx.shape[0], int(np.prod(row_shape, dtype=np.int64)),
+        out.ctypes.data,
+    )
+    if rc != 0:
+        raise RuntimeError(f"svt_gather_rows failed rc={rc}")
+    return out
 
 
 def f32_to_bf16(x: np.ndarray) -> np.ndarray:

@@ -94,7 +94,13 @@ class StreamingLoader:
 
     def _rows(self, source, idx) -> np.ndarray:
         """Contiguous float32 rows from a plain array or np.memmap (the cast
-        is per batch, so an on-disk f64/f16 dataset never materializes)."""
+        is per batch, so an on-disk f64/f16 dataset never materializes).
+        Routed through the threaded C++ gather (native.gather_rows) when the
+        library is built — numpy fancy indexing on a memmap is serial."""
+        if source.dtype in (np.float32, np.float64, np.float16) and source.ndim > 1:
+            from surface_vision_transformers_tpu.data import native
+
+            return native.gather_rows(source, idx)
         rows = np.ascontiguousarray(source[idx])
         if rows.dtype not in (np.float32, np.dtype("bfloat16")):
             rows = rows.astype(np.float32)

@@ -568,17 +568,27 @@ def _xla_block_ref(
     x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
     *, heads, dim_head, valid_len, ln_eps, fast_softmax=True,
+    attn: str = "auto",
 ):
-    """jnp-only mirror of _block_kernel (same math: fp32 LN, unshifted
-    clamped softmax, tanh GELU, same cast points). Differentiable by plain
-    autodiff — the structural BACKWARD FALLBACK when the single-kernel
-    backward's weight-grad accumulators + working set exceed what Mosaic can
-    hold in VMEM (large dims; see _bwd_kernel_feasible). As pure XLA it is
-    also GSPMD-partitionable."""
+    """jnp mirror of _block_kernel (same math: fp32 LN, softmax, tanh GELU,
+    same cast points). Differentiable by plain autodiff — the structural
+    BACKWARD FALLBACK when the single-kernel backward's weight-grad
+    accumulators + working set exceed what Mosaic can hold in VMEM (large
+    dims; see _bwd_kernel_feasible).
+
+    ``attn``: 'flash' routes attention through the flash kernel (custom
+    VJP; keeps the (N, N) probabilities in VMEM both directions — the
+    default on TPU, where the fallback actually runs for SiT-base-sized
+    blocks); 'einsum' is the pure-XLA GSPMD-partitionable form (CPU tests).
+    The flash kernel uses the SHIFTED softmax rather than the megakernel's
+    clamped unshifted form; both are exact for in-range scores, so fallback
+    gradients agree with the forward to softmax-roundoff."""
     B, N, dim = x.shape
     hd = heads * dim_head
     scale = dim_head ** -0.5
     dt = x.dtype
+    if attn == "auto":
+        attn = "flash" if jax.default_backend() == "tpu" else "einsum"
     h = _layer_norm(x, ln1_scale.astype(jnp.float32),
                     ln1_bias.astype(jnp.float32), ln_eps).astype(dt)
     qkv = jax.lax.dot_general(
@@ -592,20 +602,28 @@ def _xla_block_ref(
     q = heads_t(qkv[..., :hd])
     k = heads_t(qkv[..., hd:2 * hd])
     v = heads_t(qkv[..., 2 * hd:])
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    s = jnp.where((jnp.arange(N) < valid_len)[None, None, None, :], s,
-                  _NEG_INF)
-    if fast_softmax:
-        p = jnp.exp(jnp.minimum(s, _CLAMP))
-        l = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+    if attn == "flash":
+        from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+            flash_attention,
+        )
+
+        o = flash_attention(q, k, v, valid_len)
+        a = o.transpose(0, 2, 1, 3).reshape(B, N, hd).astype(dt)
     else:
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dt), v,
-                   preferred_element_type=jnp.float32)
-    a = (o / l).astype(dt).transpose(0, 2, 1, 3).reshape(B, N, hd)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where((jnp.arange(N) < valid_len)[None, None, None, :], s,
+                      _NEG_INF)
+        if fast_softmax:
+            p = jnp.exp(jnp.minimum(s, _CLAMP))
+            l = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dt), v,
+                       preferred_element_type=jnp.float32)
+        a = (o / l).astype(dt).transpose(0, 2, 1, 3).reshape(B, N, hd)
     attn = jax.lax.dot_general(
         a, w_out, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

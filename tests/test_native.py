@@ -63,3 +63,24 @@ def test_f32_to_bf16_round_to_nearest_even():
     np.testing.assert_array_equal(
         native.f32_to_bf16(x), x.astype(ml_dtypes.bfloat16).view(np.uint16)
     )
+
+
+def test_gather_rows_matches_numpy(tmp_path):
+    """Threaded streaming-batch assembly: float32 out[i] = src[idx[i]] with
+    the dtype cast fused (f32 memcpy / f64 narrowing / f16 widening), on
+    plain arrays AND np.memmap sources."""
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 40, size=16)
+    for dt in (np.float32, np.float64, np.float16):
+        src = rng.standard_normal((40, 3, 5, 7)).astype(dt)
+        got = native.gather_rows(src, idx)
+        assert got.dtype == np.float32 and got.flags["C_CONTIGUOUS"]
+        np.testing.assert_array_equal(got, src[idx].astype(np.float32))
+
+    # memmap source (the streaming loader's real input)
+    src = rng.standard_normal((40, 3, 5, 7)).astype(np.float64)
+    np.save(tmp_path / "d.npy", src)
+    mm = np.load(tmp_path / "d.npy", mmap_mode="r")
+    np.testing.assert_array_equal(
+        native.gather_rows(mm, idx), src[idx].astype(np.float32)
+    )
