@@ -197,6 +197,79 @@ def main():
             "surfaces_per_s": round(256 / dt, 1),
         }
 
+    # model-family TRAINING coverage: SiT-small keeps the single-kernel
+    # backward (dim 384 fits); SiT-base (dim 768) exercises the
+    # flash-attention-based XLA-backward fallback (_bwd_kernel_feasible) —
+    # the path that replaced a hard Mosaic VMEM failure in round 3
+    details["variants_train"] = {}
+    for name, dim, heads, bs_t, n_t in (("small", 384, 6, 256, 1024),
+                                        ("base", 768, 12, 128, 512)):
+        tab_v = load_patch_table(6, 2)
+        L, V = tab_v.indices.shape
+        model_t = SiT(dim=dim, depth=12, heads=heads, mlp_dim=4 * dim,
+                      num_patches=L, num_vertices=V, patch_table=tab_v.indices)
+        xb = jax.random.normal(key, (n_t, 4, 40962), jnp.bfloat16)
+        yb = jax.random.normal(key, (n_t,))
+        exp_t = from_dict({
+            "resolution": {"ico": 6, "sub_ico": 2},
+            "transformer": {"dim": dim, "depth": 12, "heads": heads,
+                            "mlp_dim": 4 * dim},
+            "training": {"LR": 1e-5, "bs": bs_t, "epochs": 1},
+            "optimisation": {"optimiser": "SGD"},
+            "SGD": {"momentum": 0.9},
+        })
+        trainer_t = Trainer(exp_t, model=model_t)
+        state_t = trainer_t.init_state(xb[:1])
+        t0 = time.perf_counter()
+        state_t, _ = trainer_t.train_epoch(state_t, xb, yb)  # compile
+        compile_t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state_t, _ = trainer_t.train_epoch(state_t, xb, yb)
+        e_t = time.perf_counter() - t0
+        details["variants_train"][f"SiT-{name}"] = {
+            "bs": bs_t, "surfaces_per_s": round(n_t / e_t, 1),
+            "compile_s": round(compile_t, 1),
+        }
+
+    # augmented training (BASELINE config 2's capability): on-device exact
+    # icosahedral rotations + warps over a canonical generated table
+    from surface_vision_transformers_tpu.data.augment import SurfaceAugment
+    from surface_vision_transformers_tpu.geometry import (
+        generate_patch_table, remap_table_to_icosphere,
+    )
+    from surface_vision_transformers_tpu.geometry.tables import PatchTable
+
+    tab_c, verts_c = generate_patch_table(6, 2)
+    tab_c = remap_table_to_icosphere(tab_c, verts_c, 6)
+    tab_c = PatchTable(tab_c, 6, 2, ordering="canonical").validate()
+    aug = SurfaceAugment(ico=6, patch_table=tab_c.indices,
+                         exact_rotations=True, num_warps=4, seed=0)
+    model_a = SiT(dim=192, depth=12, heads=3, mlp_dim=768,
+                  num_patches=320, num_vertices=153,
+                  patch_table=tab_c.indices)
+    xb = jax.random.normal(key, (2560, 4, 40962), jnp.bfloat16)
+    yb = jax.random.normal(key, (2560,))
+    exp_a = from_dict({
+        "resolution": {"ico": 6, "sub_ico": 2},
+        "transformer": {"dim": 192, "depth": 12, "heads": 3, "mlp_dim": 768},
+        "training": {"LR": 1e-5, "bs": 256, "epochs": 1},
+        "optimisation": {"optimiser": "SGD"},
+        "SGD": {"momentum": 0.9},
+    })
+    trainer_a = Trainer(exp_a, model=model_a, augment=aug)
+    state_a = trainer_a.init_state(xb[:1])
+    t0 = time.perf_counter()
+    state_a, _ = trainer_a.train_epoch(state_a, xb, yb)  # compile
+    compile_a = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state_a, _ = trainer_a.train_epoch(state_a, xb, yb)
+    e_a = time.perf_counter() - t0
+    details["train_augmented"] = {
+        "bs": 256, "surfaces_per_s": round(2560 / e_a, 1),
+        "compile_s": round(compile_a, 1),
+        "augment": "60 exact rotations + 4 warps, on-device",
+    }
+
     details["best_batch"] = best_bs
     details["baseline_a100_estimate_surfaces_per_s"] = BASELINE_A100_SURFACES_PER_S
     Path(__file__).with_name("BENCH_DETAILS.json").write_text(

@@ -272,3 +272,33 @@ def test_group_selection_rules():
     assert _fit_group(8, 256) == 8
     assert _fit_group(8, 6) == 2
     assert _fit_group(8, 7) == 1
+
+
+def test_pick_group_dtype_aware():
+    """fp32 inputs halve the packed kernels' per-program group: with grid > 1
+    Mosaic double-buffers input blocks, and fp32 G=4 at Np=384 overflowed the
+    16M scoped-VMEM stack at B=256 (caught by the flagship-shape TPU test)."""
+    from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+        _pick_group,
+    )
+
+    assert _pick_group(256, 2) == 4   # bf16 keeps the measured G=4
+    assert _pick_group(256, 4) == 2   # fp32 halves
+    assert _pick_group(2, 4) == 2
+    assert _pick_group(3, 2) == 1     # indivisible batch
+    assert _pick_group(3, 4) == 1
+
+
+def test_bwd_kernel_feasible_boundaries():
+    """The backward-kernel feasibility rule matches what was measured on
+    chip: dim 512 compiles (kernel path), dim 768 and 1024 do not (XLA
+    fallback)."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        _bwd_kernel_feasible,
+    )
+
+    assert _bwd_kernel_feasible(328, 192, 768, 192, 3)      # SiT-tiny
+    assert _bwd_kernel_feasible(328, 384, 1536, 384, 6)     # SiT-small
+    assert _bwd_kernel_feasible(328, 512, 2048, 512, 8)
+    assert not _bwd_kernel_feasible(328, 768, 3072, 768, 12)   # SiT-base
+    assert not _bwd_kernel_feasible(328, 1024, 4096, 1024, 16)

@@ -163,3 +163,58 @@ def test_streaming_ico7_raw_input(tmp_path):
     )
     assert res["streaming"] is True
     assert np.isfinite(res["best_mae"])
+
+
+def test_streaming_loader_sharded_placement():
+    """Under a mesh with a divisible batch the loader places batches
+    batch-sharded (local_batch_to_global); indivisible batches fall back to
+    replicated placement, and a full sharded-mesh training run through the
+    runner matches expectations."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from surface_vision_transformers_tpu.data.pipeline import StreamingLoader
+    from surface_vision_transformers_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 fake devices")
+    data, labels = make_regression_dataset(
+        32, num_patches=L, num_vertices=V, label_range=(-1, 1), seed=2
+    )
+    mesh = make_mesh(8, 1, 1)
+    loader = StreamingLoader(data, labels, batch_size=16, shuffle=False,
+                             mesh=mesh)
+    batch, tgt, w = next(iter(loader))
+    spec = batch.sharding.spec
+    assert spec == P(("data", "fsdp"), None, None, None), spec
+    assert tgt.sharding.spec == P(("data", "fsdp")), tgt.sharding.spec
+
+    # indivisible batch -> replicated fallback (no error)
+    loader7 = StreamingLoader(data[:21], labels[:21], batch_size=7,
+                              shuffle=False, mesh=mesh)
+    batch7, _, _ = next(iter(loader7))
+    assert batch7.shape[0] == 7
+
+
+def test_streaming_under_mesh_through_runner(tmp_path):
+    """data.streaming: on + tpu.mesh_data: -1 — streamed sharded training
+    through the public entry point."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 fake devices")
+    data, labels = make_regression_dataset(
+        48, num_patches=L, num_vertices=V, label_range=(-1, 1), seed=0
+    )
+    raw = base_raw(epochs=2)
+    raw["data"] = {"streaming": True}
+    raw["tpu"] = {"compute_dtype": "float32", "mesh_data": -1}
+    res = runner.run_training(
+        from_dict(raw),
+        datasets={"train": (data[:32], labels[:32]),
+                  "validation": (data[32:], labels[32:])},
+        run_root=tmp_path / "run", progress=False,
+    )
+    assert res["streaming"] is True
+    assert res["mesh"] == {"data": 8, "fsdp": 1, "model": 1}
+    assert np.isfinite(res["best_mae"])
