@@ -98,11 +98,65 @@ class SurfaceAugment:
                     np.int32
                 )  # (K, L*V, 3)
                 self._warp_w_patched = self._warp_w[:, flat]
+            # STRUCTURED rotation tables for patched inputs: an icosahedral
+            # rotation maps each patch's vertex set exactly onto another
+            # patch's, so in patch space it decomposes into a PATCH
+            # permutation (a V-contiguous BLOCK gather — ~65x faster on TPU
+            # than the scalar gather, measured 1.4 vs 93 ms at B=256) times
+            # a small set of within-patch orientations (applied as one-hot
+            # GEMMs + a block select). Canonical tables collapse to a
+            # handful of orientations; arbitrary atlas orderings don't and
+            # keep the general gather path.
+            self._structured = self._build_structured_tables(
+                np.asarray(self.patch_table)
+            )
+
+    def _build_structured_tables(self, tab: np.ndarray):
+        """(rot_patch (R, L), orient_id (R, L), orients (O, V)) or None."""
+        R = self._perms.shape[0]
+        L, V = tab.shape
+        patch_of = {np.sort(tab[l]).tobytes(): l for l in range(L)}
+        slot_of = [
+            {int(g): i for i, g in enumerate(tab[l])} for l in range(L)
+        ]
+        rot_patch = np.empty((R, L), np.int32)
+        orient_id = np.empty((R, L), np.int32)
+        odict: dict = {}
+        orients: list = []
+        for r in range(R):
+            perm = self._perms[r]
+            for l in range(L):
+                src = perm[tab[l]]  # source vertex id for each dest slot
+                p = patch_of.get(np.sort(src).tobytes())
+                if p is None:
+                    return None  # rotation doesn't map patches to patches
+                sidx = slot_of[p]
+                vperm = np.fromiter(
+                    (sidx[int(g)] for g in src), np.int32, V
+                )  # dest slot w reads source slot vperm[w]
+                key = vperm.tobytes()
+                oid = odict.get(key)
+                if oid is None:
+                    if len(orients) >= 16:
+                        return None  # atlas-ordered: orientations don't collapse
+                    oid = len(orients)
+                    odict[key] = oid
+                    orients.append(vperm)
+                rot_patch[r, l] = p
+                orient_id[r, l] = oid
+        return rot_patch, orient_id, np.stack(orients)
 
     # -- application ---------------------------------------------------------
 
     def __call__(self, key: jax.Array, x: jax.Array) -> jax.Array:
-        """Augment a batch: raw (B, C, G) or pre-patched (B, C, L, V)."""
+        """Augment a batch: raw (B, C, G) or pre-patched (B, C, L, V).
+
+        Pre-patched inputs with a structured table (canonical orderings)
+        take the fast rotation path: block gather + orientation GEMMs —
+        the scalar vertex gather XLA generates otherwise runs ~65x slower
+        on TPU (93 vs 1.4+6 ms at B=256 for sub-ico-2). Warps (if enabled)
+        still use the general gather; warp-heavy recipes on TPU should
+        prefer host-side augmentation via the streaming pipeline."""
         if x.ndim == 3:
             return self._apply(key, x, jnp.asarray(self._perms),
                                self._warp_idx, self._warp_w)
@@ -110,6 +164,8 @@ class SurfaceAugment:
             if self.patch_table is None:
                 raise ValueError("pre-patched input needs patch_table set")
             B, C, L, V = x.shape
+            if getattr(self, "_structured", None) is not None:
+                return self._apply_structured(key, x)
             flat = x.reshape(B, C, L * V)
             out = self._apply(
                 key, flat, jnp.asarray(self._perms_patched),
@@ -118,6 +174,68 @@ class SurfaceAugment:
             )
             return out.reshape(B, C, L, V)
         raise ValueError(f"bad input shape {x.shape}")
+
+    def _apply_structured(self, key, xp):
+        """Rotation via patch-block gather + within-patch one-hot GEMMs
+        (bitwise-identical to the general gather: one-hot matmuls move exact
+        values), then the standard warp branch in flattened space."""
+        B, C, L, V = xp.shape
+        rot_patch, orient_id, orients = self._structured
+        O = orients.shape[0]
+        k_rot, k_warp_sel, k_warp_on = jax.random.split(key, 3)
+
+        r = jax.random.randint(k_rot, (B,), 0, rot_patch.shape[0])
+        pidx = jnp.take(jnp.asarray(rot_patch), r, axis=0)  # (B, L)
+        xg = jnp.take_along_axis(
+            xp, pidx[:, None, :, None], axis=2, mode="promise_in_bounds"
+        )
+        # P[o, v, w] = 1 iff dest slot w reads source slot v under orient o
+        onehot = np.zeros((O, V, V), np.float32)
+        onehot[
+            np.arange(O)[:, None], orients, np.arange(V)[None, :]
+        ] = 1.0
+        ys = jnp.einsum(
+            "bclv,ovw->obclw", xg, jnp.asarray(onehot, xp.dtype),
+            preferred_element_type=xp.dtype,
+        )
+        osel = jnp.take(jnp.asarray(orient_id), r, axis=0)  # (B, L)
+        x = jnp.take_along_axis(
+            ys, osel[None, :, None, :, None], axis=0,
+            mode="promise_in_bounds",
+        )[0]
+
+        warp_idx = getattr(self, "_warp_idx_patched", None)
+        if warp_idx is not None and self.warp_prob > 0:
+            flat = self._apply_warps(
+                x.reshape(B, C, L * V), self._warp_idx_patched,
+                self._warp_w_patched, k_warp_sel, k_warp_on,
+            )
+            x = flat.reshape(B, C, L, V)
+        return x
+
+    def _apply_warps(self, x, warp_idx, warp_w, k_warp_sel, k_warp_on):
+        """Warp selection the TPU-fast way: each of the K warp tables is
+        CONSTANT, so every table applies to the whole batch as 3
+        static-index gathers (the pattern XLA runs at bandwidth — same as
+        patchify), then each sample block-selects its table. Per-sample
+        dynamic-index gathers (the previous form) ran ~65x slower."""
+        B = x.shape[0]
+        K = warp_idx.shape[0]
+        t = jax.random.randint(k_warp_sel, (B,), 0, K)
+        on = jax.random.uniform(k_warp_on, (B,)) < self.warp_prob
+        warped_all = jnp.stack([
+            sum(
+                jnp.take(x, jnp.asarray(warp_idx[k, :, j]), axis=2)
+                * jnp.asarray(warp_w[k, :, j], x.dtype)
+                for j in range(3)
+            )
+            for k in range(K)
+        ])  # (K, B, C, Gf)
+        warped = jnp.take_along_axis(
+            warped_all, t[None, :, None, None], axis=0,
+            mode="promise_in_bounds",
+        )[0]
+        return jnp.where(on[:, None, None], warped, x)
 
     def _apply(self, key, x, perms, warp_idx, warp_w):
         B = x.shape[0]
@@ -128,14 +246,6 @@ class SurfaceAugment:
         x = jnp.take_along_axis(x, idx[:, None, :], axis=2)
 
         if warp_idx is not None and self.warp_prob > 0:
-            t = jax.random.randint(k_warp_sel, (B,), 0, warp_idx.shape[0])
-            on = jax.random.uniform(k_warp_on, (B,)) < self.warp_prob
-            wi = jnp.take(jnp.asarray(warp_idx), t, axis=0)  # (B, Gf, 3)
-            ww = jnp.take(jnp.asarray(warp_w), t, axis=0)
-            warped = sum(
-                jnp.take_along_axis(x, wi[:, None, :, k], axis=2)
-                * ww[:, None, :, k].astype(x.dtype)
-                for k in range(3)
-            )
-            x = jnp.where(on[:, None, None], warped, x)
+            x = self._apply_warps(x, np.asarray(warp_idx), np.asarray(warp_w),
+                                  k_warp_sel, k_warp_on)
         return x

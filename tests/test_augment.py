@@ -115,3 +115,44 @@ def test_augmented_training_runs():
             run_root=td, progress=False,
         )
     assert res["training_finished"] and np.isfinite(res["best_mae"])
+
+
+def test_structured_rotation_matches_general_gather():
+    """The patch-block + orientation-GEMM rotation path (the TPU fast path:
+    93 -> ~8 ms at B=256) must be BITWISE-equal to the general flattened
+    gather — one-hot matmuls move exact values."""
+    table = load_patch_table(ICO, 1)  # canonical ordering (generated)
+    aug = SurfaceAugment(ico=ICO, patch_table=table.indices, num_warps=0,
+                         seed=0)
+    assert aug._structured is not None
+    rot_patch, orient_id, orients = aug._structured
+    assert orients.shape[0] <= 16  # orientations collapse on canonical tables
+
+    L, V = table.indices.shape
+    # CONSISTENT patched data (border slots duplicate their vertex): the two
+    # paths read a duplicated vertex from different (equal-valued) slots
+    raw = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (4, 2, 642)))
+    x4 = jnp.asarray(raw[:, :, np.asarray(table.indices)])  # (4, 2, L, V)
+    key = jax.random.PRNGKey(5)
+    fast = aug._apply_structured(key, x4)
+    general = aug._apply(
+        key, x4.reshape(4, 2, -1), jnp.asarray(aug._perms_patched), None, None
+    ).reshape(4, 2, L, V)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(general))
+
+
+def test_structured_tables_absent_for_atlas_ordering():
+    """The shipped dHCP tables use the authors' arbitrary within-patch
+    order; the structured decomposition must detect that and fall back to
+    the general gather (only reachable with the matching sphere anyway)."""
+    import pytest as _pytest
+
+    dhcp = load_patch_table(6, 2)  # shipped atlas-ordered asset
+    if dhcp.ordering == "canonical":
+        _pytest.skip("no atlas asset available")
+    sphere = np.asarray  # the atlas path needs sphere coords; build tables
+    # directly from the canonical icosphere against the ATLAS table: the
+    # rotation perms are in canonical numbering so patches don't map
+    aug = SurfaceAugment(ico=6, patch_table=dhcp.indices, num_warps=0,
+                         seed=0)
+    assert aug._structured is None
