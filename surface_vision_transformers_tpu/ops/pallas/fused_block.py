@@ -509,9 +509,11 @@ def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
         cache_probs = True if _BWD_CACHE is None else _BWD_CACHE
     if group is None:
         group = _BWD_GROUP
-    G = _fit_group(group or _clamp_group(
-        _auto_group(dim, bwd=True), N, dim, mlp, 3 * hd, heads=heads,
-        bwd=True,
+    # explicit group (incl. the _BWD_GROUP sweep override) is budget-clamped
+    # like the forward (ADVICE r2)
+    G = _fit_group(_clamp_group(
+        group or _auto_group(dim, bwd=True), N, dim, mlp, 3 * hd,
+        heads=heads, bwd=True,
     ), B)
 
     def vec(v):
@@ -1074,9 +1076,9 @@ def _block_cls_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     # far lighter than the full block's (Np, Np) — but the (G*N, dim)
     # fp32 gradient tiles still apply, so the conservative bwd rule picks
     # the base G and the cls-specific estimate clamps it
-    G = _fit_group(group or _clamp_group_cls(
-        _auto_group(dim, bwd=True), N, dim, 3 * hd, heads=heads, rows=rows,
-        bwd=True,
+    G = _fit_group(_clamp_group_cls(
+        group or _auto_group(dim, bwd=True), N, dim, 3 * hd, heads=heads,
+        rows=rows, bwd=True,
     ), B)
 
     def vec(v):

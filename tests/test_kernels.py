@@ -272,6 +272,12 @@ def test_group_selection_rules():
     assert _fit_group(8, 256) == 8
     assert _fit_group(8, 6) == 2
     assert _fit_group(8, 7) == 1
+    # an EXPLICIT caller group is clamped too, on every path (ADVICE r2):
+    # all four call sites compute _clamp_group[/_cls](group or auto, ...),
+    # so an oversized expert knob degrades instead of failing Mosaic compile
+    assert _clamp_group(8, 328, 1024, 4096, 3072) < 8
+    assert _clamp_group(8, 328, 1024, 4096, 3072, heads=16, bwd=True) == 2
+    assert _clamp_group_cls(8, 328, 1024, 3072, heads=16, bwd=True) == 4
 
 
 def test_pick_group_dtype_aware():
