@@ -363,3 +363,90 @@ def test_large_dim_bwd_fallback_grads_match_autodiff():
     for a, b in zip(gk, ge):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-3)
+
+
+def test_masked_mse_recon_vjp_matches_autodiff():
+    """The custom-VJP reconstruction head (r3: bf16 grad GEMMs, cdt residual
+    cache) must equal autodiff of the plain fp32 expression exactly when
+    cdt=float32, and stay within bf16-GEMM tolerance when cdt=bfloat16."""
+    from surface_vision_transformers_tpu.models.fused import _masked_mse_recon
+
+    rng = np.random.default_rng(11)
+    B, n, dim, pd = 3, 16, 8, 12
+    h = jnp.asarray(rng.standard_normal((B, n, dim)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((dim, pd)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(pd) * 0.1, jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, n, pd)), jnp.float32)
+    maskw = jnp.asarray(rng.random((B, n)) < 0.5, jnp.float32)
+    inv = jnp.float32(1.0 / (B * n * pd))
+
+    def plain(h, k, b):
+        recon = h.astype(jnp.float32) @ k.astype(jnp.float32) + b
+        d = recon - t
+        return jnp.sum(maskw[:, :, None] * d * d) * inv
+
+    lp, gp = jax.value_and_grad(plain, argnums=(0, 1, 2))(h, k, b)
+    lf, gf = jax.value_and_grad(
+        lambda h, k, b: _masked_mse_recon(jnp.float32, h, k, b, t, maskw, inv),
+        argnums=(0, 1, 2),
+    )(h, k, b)
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-6)
+    for a, e in zip(gf, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-6, rtol=1e-6)
+
+    # bf16 compute dtype: compare against autodiff of the bf16-GEMM forward
+    def plain_bf16(h, k, b):
+        recon = jnp.matmul(h.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32) + b
+        d = recon - t
+        return jnp.sum(maskw[:, :, None] * d * d) * inv
+
+    lb, gb = jax.value_and_grad(plain_bf16, argnums=(0, 1, 2))(h, k, b)
+    lf16, gf16 = jax.value_and_grad(
+        lambda h, k, b: _masked_mse_recon(jnp.bfloat16, h, k, b, t, maskw, inv),
+        argnums=(0, 1, 2),
+    )(h, k, b)
+    np.testing.assert_allclose(float(lf16), float(lb), rtol=1e-6)
+    for a, e in zip(gf16, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=5e-3, rtol=5e-2)
+
+
+def test_fused_mpp_loss_grads_match_plain_head():
+    """fused_mpp_loss end-to-end grads with the custom-VJP head equal grads
+    with a plain-autodiff fp32 head when the encoder runs fp32 (cdt=fp32 is
+    the exact-parity mode); pins that swapping the head implementation does
+    not change MPP training."""
+    from surface_vision_transformers_tpu.models import MPP
+    from surface_vision_transformers_tpu.models import fused as F
+
+    model = SiT(dtype=jnp.float32, **CFG)
+    mpp = MPP(encoder=model, mask_prob=0.5, replace_prob=0.8, swap_prob=0.02)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 320, 153))
+    params = mpp.init({"params": jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(7)
+
+    def loss_now(p):
+        return F.fused_mpp_loss(mpp, p, x, rng)[0]
+
+    def plain_head(cdt, h, kernel, bias, target, maskw, inv_denom):
+        recon = h.astype(jnp.float32) @ kernel.astype(jnp.float32) \
+            + bias.astype(jnp.float32)
+        d = recon - target.astype(jnp.float32)
+        return jnp.sum(maskw[:, :, None] * d * d) * inv_denom
+
+    orig = F._masked_mse_recon
+    try:
+        F._masked_mse_recon = plain_head
+        lp, gp = jax.value_and_grad(loss_now)(params)
+    finally:
+        F._masked_mse_recon = orig
+    lf, gf = jax.value_and_grad(loss_now)(params)
+
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-6)
+    flat_f = jax.tree_util.tree_leaves(gf)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    for a, e in zip(flat_f, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5, rtol=1e-4)
