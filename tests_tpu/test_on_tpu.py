@@ -176,6 +176,73 @@ def test_train_step_learns_on_tpu(setup):
     assert losses[-1] < losses[0], losses
 
 
+def test_mpp_fused_train_on_tpu(setup):
+    """MPP pretrain path on the real chip (r3 head): fused encoder + the
+    custom-VJP masked-MSE reconstruction head through Trainer.train_epoch —
+    loss finite and decreasing in bf16, and at fp32 the custom VJP's
+    compiled grads equal autodiff of the plain fp32 head (exact-parity
+    mode) on hardware."""
+    from surface_vision_transformers_tpu.models import MPP
+    from surface_vision_transformers_tpu.models import fused as F
+
+    _, model16, _, _ = setup
+    exp = from_dict({
+        "resolution": {"ico": 6, "sub_ico": 2},
+        "transformer": {"dim": 192, "depth": 2, "heads": 3, "mlp_dim": 768},
+        "training": {"LR": 3e-4, "bs": B, "epochs": 1},
+        "optimisation": {"optimiser": "Adam"},
+        "SSL": "mpp",
+        "pretraining_mpp": {"mask_prob": 0.75, "replace_prob": 0.8,
+                            "swap_prob": 0.02},
+    })
+    trainer = Trainer(exp, model=model16)
+    assert trainer.task == "mpp" and trainer._use_fused_train()
+    xb = jax.random.normal(jax.random.PRNGKey(3), (2 * B, 4, 40962),
+                           jnp.bfloat16)
+    state = trainer.init_state(xb[:1])
+    losses = []
+    for _ in range(3):
+        state, m = trainer.train_epoch(state, xb, None)
+        losses.append(m.loss)
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    assert len(trainer._token_cache) == 1  # one-time tokenization engaged
+
+    # compiled grad parity: custom-VJP head vs plain-autodiff fp32 head
+    model32 = SiT(dim=192, depth=2, heads=3, mlp_dim=768,
+                  num_patches=320, num_vertices=153,
+                  patch_table=load_patch_table(6, 2).indices,
+                  dtype=jnp.float32)
+    mpp = MPP(encoder=model32, mask_prob=0.75, replace_prob=0.8,
+              swap_prob=0.02)
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 4, 320, 153))
+    params = mpp.init({"params": jax.random.PRNGKey(0)}, x,
+                      jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(7)
+
+    def plain_head(cdt, h, kernel, bias, target, maskw, inv_denom):
+        recon = h.astype(jnp.float32) @ kernel.astype(jnp.float32) \
+            + bias.astype(jnp.float32)
+        d = recon - target.astype(jnp.float32)
+        return jnp.sum(maskw[:, :, None] * d * d) * inv_denom
+
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda p: F.fused_mpp_loss(mpp, p, x, rng)[0]))
+    lf, gf = grad_fn(params)
+    orig = F._masked_mse_recon
+    try:
+        F._masked_mse_recon = plain_head
+        lp, gp = jax.jit(jax.value_and_grad(
+            lambda p: F.fused_mpp_loss(mpp, p, x, rng)[0]))(params)
+    finally:
+        F._masked_mse_recon = orig
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+    for a, e in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5, rtol=1e-3)
+
+
 def test_tiled_flash_attention_long_seq_compiled():
     """Blockwise (online-softmax) kernel vs einsum at a long sequence
     (sub-ico-3-scale), compiled Mosaic, fp32."""
