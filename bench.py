@@ -197,6 +197,31 @@ def main():
             "surfaces_per_s": round(256 / dt, 1),
         }
 
+    # W8A8 int8 serving (tpu.quant: int8): per-channel int8 weights +
+    # per-token dynamic int8 activations on the MXU's 2x int8 rate. Block
+    # speedup grows with GEMM fraction: ~1.1x at tiny dims, ~1.4x at base
+    # (docs/design.md); report end-to-end at both ends
+    details["inference_int8"] = {}
+    for name, dim, heads in (("tiny", 192, 3), ("base", 768, 12)):
+        model_q = SiT(dim=dim, depth=12, heads=heads, mlp_dim=4 * dim,
+                      num_patches=320, num_vertices=153,
+                      patch_table=table.indices)
+        params_q = model_q.init(key, jnp.zeros((1, 4, 40962)))
+        bs_q = 256
+        xq = jax.random.normal(key, (bs_q, 4, 40962), jnp.bfloat16)
+
+        def step_q(p, x, i, m=model_q):
+            return fused_forward(
+                m, p, x + i.astype(jnp.bfloat16) * jnp.bfloat16(2**-7),
+                quant="int8",
+            ).mean().astype(jnp.float32)
+
+        dt = timed_scan(step_q, (params_q, xq), iters=11)
+        details["inference_int8"][f"SiT-{name}"] = {
+            "ms_per_batch_256": round(dt * 1e3, 3),
+            "surfaces_per_s": round(bs_q / dt, 1),
+        }
+
     # model-family TRAINING coverage: SiT-small keeps the single-kernel
     # backward (dim 384 fits); SiT-base (dim 768) exercises the
     # flash-attention-based XLA-backward fallback (_bwd_kernel_feasible) —
@@ -246,7 +271,7 @@ def main():
     # gather + orientation GEMMs, ~8 ms vs 93 ms scalar gather at B=256);
     # warps remain general gathers and dominate when enabled
     xb_raw = jax.random.normal(key, (2560, 4, 40962), jnp.bfloat16)
-    xb = xb_raw[:, :, jnp.asarray(np.asarray(tab_c.indices))]  # (N,4,320,153)
+    xb = xb_raw[:, :, jnp.asarray(tab_c.indices)]  # (N,4,320,153)
     yb = jax.random.normal(key, (2560,))
     exp_a = from_dict({
         "resolution": {"ico": 6, "sub_ico": 2},

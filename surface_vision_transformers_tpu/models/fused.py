@@ -81,6 +81,7 @@ _INFER_MICROBATCH = 256
 def fused_forward(
     model: SiT, variables, x: jax.Array, *, mesh=None,
     microbatch: int | None = _INFER_MICROBATCH,
+    quant: str | None = None,
 ) -> jax.Array:
     """Inference-only forward with fused-block kernels. x: raw (B, C, G) or
     pre-patched (B, C, L, V); returns (B, num_classes).
@@ -93,6 +94,13 @@ def fused_forward(
 
     ``microbatch``: batches larger than this run as an on-device lax.map
     over tiles of this size (identical outputs; see _INFER_MICROBATCH).
+
+    ``quant="int8"``: run the non-final blocks through the W8A8 megakernel
+    (``fused_block_int8`` — per-channel int8 weights quantized on the fly,
+    per-token dynamic int8 activations, int32 MXU accumulation; 2x MXU rate
+    on v5e). Embedding, attention internals, the final cls block, and the
+    head stay bf16/fp32. Serving only; expect W8A8-level logit error (see
+    tests/test_int8.py).
 
     The sequence pads to the next SUBLANE multiple (N % 8; 321 -> 328 for
     sub-ico-2) rather than the modular path's lane multiple (384): score
@@ -111,7 +119,9 @@ def fused_forward(
                 "divisible by the data axis; use the modular model"
             )
         return _dp_shard_map(
-            lambda v, xx: fused_forward(model, v, xx, microbatch=microbatch),
+            lambda v, xx: fused_forward(
+                model, v, xx, microbatch=microbatch, quant=quant
+            ),
             mesh, variables, x,
         )
 
@@ -119,7 +129,10 @@ def fused_forward(
     if microbatch and B > microbatch and B % microbatch == 0:
         xt = x.reshape(B // microbatch, microbatch, *x.shape[1:])
         out = jax.lax.map(
-            lambda c: fused_forward(model, variables, c, microbatch=None), xt
+            lambda c: fused_forward(
+                model, variables, c, microbatch=None, quant=quant
+            ),
+            xt,
         )
         return out.reshape(B, out.shape[-1])
 
@@ -150,21 +163,54 @@ def fused_forward(
     valid = n + 1 if n_pad > n + 1 else None
     enc = p["encoder"]
     cls_last = model.pool == "cls"
+    if quant not in (None, "int8"):
+        raise ValueError(f"unknown quant mode {quant!r}")
     for i in range(model.depth):
         a = enc[f"layers_{i}_attn"]
         m = enc[f"layers_{i}_mlp"]
-        block_fn = (
-            fused_block_cls if (cls_last and i == model.depth - 1) else fused_block
-        )
-        h = block_fn(
-            h,
-            a["norm"]["scale"], a["norm"]["bias"], a["to_qkv"]["kernel"].astype(dt),
-            a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
-            m["norm"]["scale"], m["norm"]["bias"],
-            m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
-            m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
-            heads=model.heads, dim_head=model.dim_head, valid_len=valid,
-        )
+        if cls_last and i == model.depth - 1:
+            # the cls final block computes only ~1/7 of a block; keep bf16
+            h = fused_block_cls(
+                h,
+                a["norm"]["scale"], a["norm"]["bias"],
+                a["to_qkv"]["kernel"].astype(dt),
+                a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+                m["norm"]["scale"], m["norm"]["bias"],
+                m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
+                m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+                heads=model.heads, dim_head=model.dim_head, valid_len=valid,
+            )
+        elif quant == "int8":
+            from surface_vision_transformers_tpu.ops.pallas.fused_block_int8 import (
+                fused_block_int8, quantize_block_weights,
+            )
+
+            (q_qkv, s_qkv, q_out, s_out, q_fc1, s_fc1, q_fc2, s_fc2) = (
+                quantize_block_weights(
+                    a["to_qkv"]["kernel"], a["to_out"]["kernel"],
+                    m["fc1"]["kernel"], m["fc2"]["kernel"],
+                )
+            )
+            h = fused_block_int8(
+                h,
+                a["norm"]["scale"], a["norm"]["bias"],
+                q_qkv, s_qkv, q_out, s_out, a["to_out"]["bias"],
+                m["norm"]["scale"], m["norm"]["bias"],
+                q_fc1, s_fc1, m["fc1"]["bias"],
+                q_fc2, s_fc2, m["fc2"]["bias"],
+                heads=model.heads, dim_head=model.dim_head, valid_len=valid,
+            )
+        else:
+            h = fused_block(
+                h,
+                a["norm"]["scale"], a["norm"]["bias"],
+                a["to_qkv"]["kernel"].astype(dt),
+                a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+                m["norm"]["scale"], m["norm"]["bias"],
+                m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
+                m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+                heads=model.heads, dim_head=model.dim_head, valid_len=valid,
+            )
 
     if model.pool == "mean":
         pooled = jnp.mean(h[:, : n + 1], axis=1)
@@ -179,10 +225,12 @@ def fused_forward(
     ].astype(jnp.float32)
 
 
-def predict(model: SiT, variables, data, *, batch_size: int = 256):
+def predict(model: SiT, variables, data, *, batch_size: int = 256,
+            quant: str | None = None):
     """Batched serving helper: pads the last batch, jit-caches per shape,
     uses the megakernel path on TPU (modular apply elsewhere). Returns a
-    numpy (N, num_classes) array."""
+    numpy (N, num_classes) array. ``quant="int8"`` serves through the W8A8
+    megakernels (TPU fused path only)."""
     import numpy as np
 
     use_fused = (
@@ -192,7 +240,7 @@ def predict(model: SiT, variables, data, *, batch_size: int = 256):
     @jax.jit
     def fwd(p, x):
         if use_fused:
-            return fused_forward(model, p, x)
+            return fused_forward(model, p, x, quant=quant)
         return model.apply(p, x)
 
     n = data.shape[0]

@@ -531,8 +531,10 @@ class Trainer:
         if self._use_fused_inference() and self._fused_batch_ok(batch.shape[0]):
             from surface_vision_transformers_tpu.models.fused import fused_forward
 
+            quant = getattr(self.exp.tpu, "quant", "none")
             return fused_forward(
-                self.model, {"params": params}, batch, mesh=self.mesh
+                self.model, {"params": params}, batch, mesh=self.mesh,
+                quant=None if quant == "none" else quant,
             )
         return self.model.apply({"params": params}, batch)
 

@@ -160,6 +160,10 @@ class TPUConfig:
     profile_epoch: int = -1  # write a jax.profiler trace for this epoch
     fused_train: bool = True  # fused-block kernels in the training forward
     seq_sharding: bool = False  # shard token activations over the model axis
+    # serving quantization: 'none' | 'int8' (W8A8 megakernel for evaluation
+    # and cli.test — per-channel int8 weights, per-token dynamic int8
+    # activations, int32 MXU accumulation; training is never quantized)
+    quant: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -320,7 +324,12 @@ def from_dict(raw: dict) -> Experiment:
         profile_epoch=int(tp.get("profile_epoch", -1)),
         fused_train=bool(tp.get("fused_train", True)),
         seq_sharding=bool(tp.get("seq_sharding", False)),
+        quant=str(tp.get("quant", "none")),
     )
+    if tpu.quant not in ("none", "int8"):
+        raise ValueError(
+            f"tpu.quant must be 'none' or 'int8', got {tpu.quant!r}"
+        )
 
     mpp = None
     if "pretraining_mpp" in raw or raw.get("SSL") == "mpp":

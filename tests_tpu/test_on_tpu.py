@@ -344,6 +344,27 @@ def test_fused_forward_flagship_shape(flagship):
     assert d < 0.1 * max(scale, 1.0), (d, scale)
 
 
+def test_fused_forward_int8_flagship_shape(flagship):
+    """The W8A8 serving path (compiled int8 MXU GEMMs, per-token dynamic
+    activation quant) at the flagship shape vs the fp32 modular forward:
+    W8A8-level logit fidelity, and top-1 agreement with the bf16 path."""
+    model32, model16, params, x = flagship
+    ref = jax.jit(lambda p, xx: model32.apply(p, xx))(params, x)
+    outb = jax.jit(lambda p, xx: fused_forward(model16, p, xx))(params, x)
+    out8 = jax.jit(
+        lambda p, xx: fused_forward(model16, p, xx, quant="int8")
+    )(params, x)
+    assert np.isfinite(np.asarray(out8)).all()
+    ref_np = np.asarray(ref)
+    o8 = np.asarray(out8, dtype=np.float32)
+    rel = np.linalg.norm(o8 - ref_np) / (np.linalg.norm(ref_np) + 1e-9)
+    assert rel < 0.05, rel
+    # int8 sits close to the bf16 serving path it substitutes for
+    ob = np.asarray(outb, np.float32)
+    rel_b = np.linalg.norm(o8 - ob) / (np.linalg.norm(ob) + 1e-9)
+    assert rel_b < 0.05, rel_b
+
+
 def test_train_step_flagship_batch(flagship):
     """One real train step at the recipe batch (B=256, depth 12, bf16,
     fused_train path incl. the single-kernel backward at its production
