@@ -136,7 +136,8 @@ def _block_kernel(
     ln2_s_ref, ln2_b_ref,
     wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
     o_ref,
-    *, heads, dim_head, valid_len, group, ln_eps, fast_softmax,
+    *opt_x1_ref,
+    heads, dim_head, valid_len, group, ln_eps, fast_softmax,
 ):
     np_ = x_ref.shape[1]
     dim = x_ref.shape[2]
@@ -214,6 +215,10 @@ def _block_kernel(
     o_ref[...] = (x1.astype(jnp.float32) + f).astype(o_ref.dtype).reshape(
         group, np_, dim
     )
+    if opt_x1_ref:
+        # split-backward support: save the attention-branch residual so the
+        # MLP-grad kernel needn't recompute the whole attention forward
+        opt_x1_ref[0][...] = x1.reshape(group, np_, dim)
 
 
 def fused_block(
@@ -229,11 +234,14 @@ def fused_block(
     ln_eps: float = 1e-5,  # torch nn.LayerNorm default (reference parity)
     group: int | None = None,
     fast_softmax: bool = True,
+    save_x1: bool = False,
 ) -> jax.Array:
     """One transformer block. x: (B, N, dim), N % 8 == 0. Weights in flax
     layout (kernels (in, out)). No autodiff — use ``fused_block_train`` for
     the VJP-carrying variant. ``group`` samples flatten into one GEMM per
-    program (None -> measured per-dim default, see _auto_group)."""
+    program (None -> measured per-dim default, see _auto_group).
+    ``save_x1=True`` returns (out, x1) — x1 is the attention-branch
+    residual the split backward consumes (see _block_bwd_split)."""
     B, N, dim = x.shape
     if N % 8 != 0:
         raise NotImplementedError("fused_block requires N % 8 == 0")
@@ -260,15 +268,16 @@ def fused_block(
         vec(ln2_scale), vec(ln2_bias),
         w_fc1, vec(b_fc1), w_fc2, vec(b_fc2),
     ]
+    out_shape = jax.ShapeDtypeStruct((B, N, dim), x.dtype)
     return pl.pallas_call(
         functools.partial(
             _block_kernel, heads=heads, dim_head=dim_head, valid_len=vl,
             group=G, ln_eps=ln_eps, fast_softmax=fast_softmax,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, N, dim), x.dtype),
+        out_shape=(out_shape, out_shape) if save_x1 else out_shape,
         grid=(B // G,),
         in_specs=[blk_x] + [wspec(a) for a in args],
-        out_specs=blk_x,
+        out_specs=(blk_x, blk_x) if save_x1 else blk_x,
         interpret=jax.default_backend() != "tpu",
         # the default 16M scoped-vmem budget throttles Mosaic's scheduling;
         # raising it measurably speeds the backward and gives headroom here
@@ -566,6 +575,282 @@ def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     )(*in_arrays)
 
 
+# -- split backward: MLP-grad kernel + attention-grad kernel ------------------
+#
+# The single-kernel backward holds ALL weight-grad accumulators (fp32 dwqkv +
+# dwout + dwfc1 + dwfc2 = 4·dim·(3hd+..)/..) live across the grid; at dim >=
+# 768 that live set plus the recompute working set exceeds what Mosaic can
+# register-allocate (_bwd_kernel_feasible). The split halves the problem:
+# kernel M consumes the attention-branch residual x1 (saved by the forward,
+# one extra bf16 HBM write) and produces the MLP grads + dx1; kernel A
+# consumes (x, dx1) and produces the attention grads + dx. Each kernel's
+# accumulators are those of ONE branch, and neither holds the other branch's
+# working set, so shapes the monolithic kernel rejects still run fused
+# instead of falling back to XLA-with-flash-attention (~10 intermediate HBM
+# round trips per block). Total GEMM FLOPs are identical to the monolithic
+# kernel; the extra cost is the x1 save and the dx1 HBM round trip between
+# the kernels (2·(B,N,dim) bf16, same precision as the XLA fallback's
+# intermediate cotangents).
+
+
+def _mlp_bwd_kernel(
+    x1_ref, g_ref,
+    ln2_s_ref, ln2_b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+    dx1_ref,
+    dln2_s_ref, dln2_b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref,
+    *, group, ln_eps,
+):
+    first = pl.program_id(0) == 0
+    np_ = x1_ref.shape[1]
+    dim = x1_ref.shape[2]
+    ln2_s = ln2_s_ref[0].astype(jnp.float32)
+    ln2_b = ln2_b_ref[0].astype(jnp.float32)
+
+    x1 = x1_ref[...].reshape(group * np_, dim)
+    g = g_ref[...].reshape(group * np_, dim).astype(jnp.float32)
+
+    # forward recompute of the MLP branch from the saved x1 (identical math
+    # to _block_bwd_kernel's MLP section)
+    h2f, n2, rstd2 = _ln_fwd_cache(x1, ln2_s, ln2_b, ln_eps)
+    h2 = h2f.astype(x1.dtype)
+    f1 = _mm(h2, wfc1_ref[:]) + bfc1_ref[0].astype(jnp.float32)
+    gl, dgl_df1 = _gelu_tanh_and_grad(f1)
+    glb = gl.astype(x1.dtype)
+    gb = g.astype(x1.dtype)
+
+    dwfc2 = _mm(glb, gb, ((0,), (0,)))  # (mlp, dim)
+    dbfc2 = jnp.sum(g, axis=0, keepdims=True)
+    dgl = _mm(gb, wfc2_ref[:], ((1,), (1,)))  # (G*Np, mlp) f32
+    df1 = dgl * dgl_df1
+    df1b = df1.astype(x1.dtype)
+    dwfc1 = _mm(h2, df1b, ((0,), (0,)))  # (dim, mlp)
+    dbfc1 = jnp.sum(df1, axis=0, keepdims=True)
+    dh2 = _mm(df1b, wfc1_ref[:], ((1,), (1,)))  # (G*Np, dim) f32
+    dx1_ln, dln2_s, dln2_b = _ln_bwd(dh2, n2, rstd2, ln2_s)
+    dx1 = g + dx1_ln
+    dx1_ref[...] = dx1.astype(dx1_ref.dtype).reshape(group, np_, dim)
+
+    grads = (dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
+    out_refs = (dln2_s_ref, dln2_b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref,
+                dbfc2_ref)
+
+    @pl.when(first)
+    def _():
+        for ref, val in zip(out_refs, grads):
+            ref[:] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        for ref, val in zip(out_refs, grads):
+            ref[:] += val
+
+
+def _attn_bwd_kernel(
+    x_ref, dx1_ref,
+    ln1_s_ref, ln1_b_ref, wqkv_ref, wout_ref,
+    dx_ref,
+    dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
+    *, heads, dim_head, valid_len, ln_eps, group, fast_softmax,
+):
+    first = pl.program_id(0) == 0
+    np_ = x_ref.shape[1]
+    dim = x_ref.shape[2]
+    hd = heads * dim_head
+    scale = dim_head ** -0.5
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    ln1_s = ln1_s_ref[0].astype(jnp.float32)
+    ln1_b = ln1_b_ref[0].astype(jnp.float32)
+
+    x = x_ref[...].reshape(group * np_, dim)
+    dx1 = dx1_ref[...].reshape(group * np_, dim).astype(jnp.float32)
+
+    # attention-branch forward recompute (identical math to
+    # _block_bwd_kernel); probs recomputed per (sample, head) in the grad
+    # loop — with the MLP section gone the two loops are adjacent, so the
+    # recompute form's small live set wins over caching at these dims
+    h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
+    h1 = h1f.astype(x.dtype)
+    qkv = _mm(h1, wqkv_ref[:]).astype(x.dtype)  # (G*Np, 3*hd)
+
+    def attn_probs(qkv_g, hh):
+        q = qkv_g[:, hh * dim_head:(hh + 1) * dim_head]
+        k = qkv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+        s = _mm(q, k, ((1,), (1,))) * scale
+        s = jnp.where(col < valid_len, s, _NEG_INF)
+        p, l = _softmax_rows(s, fast_softmax)
+        ok = (s <= _CLAMP) if fast_softmax else None
+        return p / l, ok
+
+    att_rows = []
+    for g_i in range(group):
+        qkv_g = qkv[g_i * np_:(g_i + 1) * np_]
+        att_parts = []
+        for hh in range(heads):
+            v = qkv_g[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
+            pn, _ = attn_probs(qkv_g, hh)
+            att_parts.append(_mm(pn.astype(v.dtype), v).astype(x.dtype))
+        att_rows.append(jnp.concatenate(att_parts, axis=-1))
+    a = jnp.concatenate(att_rows, axis=0)  # (G*Np, hd)
+
+    dx1b = dx1.astype(x.dtype)
+    dbout = jnp.sum(dx1, axis=0, keepdims=True)
+    dwout = _mm(a, dx1b, ((0,), (0,)))  # (hd, dim)
+    da = _mm(dx1b, wout_ref[:], ((1,), (1,))).astype(x.dtype)  # (G*Np, hd)
+
+    dqkv_rows = []
+    for g_i in range(group):
+        qkv_g = qkv[g_i * np_:(g_i + 1) * np_]
+        da_g = da[g_i * np_:(g_i + 1) * np_]
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for hh in range(heads):
+            q = qkv_g[:, hh * dim_head:(hh + 1) * dim_head]
+            k = qkv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            v = qkv_g[:, 2 * hd + hh * dim_head:2 * hd + (hh + 1) * dim_head]
+            da_h = da_g[:, hh * dim_head:(hh + 1) * dim_head]
+            pn, ok = attn_probs(qkv_g, hh)
+            p = jnp.where(row < valid_len, pn, 0.0)  # zero padding rows
+            pb = p.astype(x.dtype)
+            dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
+            dp = _mm(da_h, v, ((1,), (1,)))  # (Np, Np) f32
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = p * (dp - delta) * scale
+            if ok is not None:
+                ds = jnp.where(ok, ds, 0.0)
+            ds = ds.astype(x.dtype)
+            dq_parts.append(_mm(ds, k).astype(x.dtype))
+            dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))
+        dqkv_rows.append(
+            jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+        )
+    dqkv = jnp.concatenate(dqkv_rows, axis=0)  # (G*Np, 3hd)
+
+    dwqkv = _mm(h1, dqkv, ((0,), (0,)))  # (dim, 3hd)
+    dh1 = _mm(dqkv, wqkv_ref[:], ((1,), (1,)))  # (G*Np, dim) f32
+    dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
+    dx_ref[...] = (dx1 + dx_ln).astype(dx_ref.dtype).reshape(group, np_, dim)
+
+    grads = (dln1_s, dln1_b, dwqkv, dwout, dbout)
+    out_refs = (dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref)
+
+    @pl.when(first)
+    def _():
+        for ref, val in zip(out_refs, grads):
+            ref[:] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        for ref, val in zip(out_refs, grads):
+            ref[:] += val
+
+
+def _split_groups(N: int, dim: int, mlp: int, hd: int, heads: int,
+                  B: int) -> tuple[int, int]:
+    """(G_mlp, G_attn) for the split backward: start from the backward
+    default and clamp each kernel against ITS OWN accumulator + working
+    set (each holds one branch only)."""
+    g0 = _auto_group(dim, bwd=True)
+    per_m = N * (mlp * 12 + dim * 16)  # h2/f1/gl/dgl/df1 (f32) + x1/g tiles
+    acc_m = 2 * dim * mlp * 4
+    gm = g0
+    while gm > 1 and gm * per_m + acc_m > _GROUP_VMEM_BUDGET:
+        gm //= 2
+    per_a = N * (hd * 3 * 6 + dim * 16) + heads * N * N * 8
+    acc_a = (dim * 3 * hd + hd * dim) * 4
+    ga = g0
+    while ga > 1 and ga * per_a + acc_a > _GROUP_VMEM_BUDGET:
+        ga //= 2
+    return _fit_group(gm, B), _fit_group(ga, B)
+
+
+def _split_bwd_feasible(N: int, dim: int, mlp: int, hd: int,
+                        heads: int) -> bool:
+    """Can each split kernel hold its single-branch accumulators plus a G=1
+    working set? Mirrors _bwd_kernel_feasible's 40M bound per kernel.
+    dim 768/mlp 3072 (SiT-base): MLP kernel ~35M, attn kernel ~28M -> split;
+    dim 1024/mlp 4096: MLP kernel ~55M -> still the XLA fallback."""
+    acc_m = 2 * dim * mlp * 4
+    work_m = N * (mlp * 12 + dim * 16)
+    acc_a = (dim * 3 * hd + hd * dim) * 4
+    work_a = N * (hd * 3 * 6 + dim * 16) + heads * N * N * 8
+    bound = 40 * 1024 * 1024
+    return acc_m + work_m <= bound and acc_a + work_a <= bound
+
+
+def _block_bwd_split(x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
+                     ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+                     *, heads, dim_head, valid_len, ln_eps,
+                     fast_softmax: bool = True):
+    """Two-kernel block backward for shapes the monolithic kernel can't
+    hold: kernel M (MLP grads + dx1 from the forward-saved x1), then
+    kernel A (attention grads + dx). Same math and cast points as
+    _block_bwd_kernel; returns the same 12 gradients."""
+    B, N, dim = x.shape
+    mlp = w_fc1.shape[1]
+    hd = heads * dim_head
+    gm, ga = _split_groups(N, dim, mlp, hd, heads, B)
+
+    def vec(v):
+        return v.reshape(1, -1)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda b: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    interp = jax.default_backend() != "tpu"
+    params = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+    blk_m = pl.BlockSpec((gm, N, dim), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    m_in = [x1, g, vec(ln2_scale), vec(ln2_bias), w_fc1, vec(b_fc1), w_fc2]
+    m_out_shapes = (
+        jax.ShapeDtypeStruct((B, N, dim), x.dtype),       # dx1
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dln2_s
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dln2_b
+        jax.ShapeDtypeStruct((dim, mlp), jnp.float32),    # dwfc1
+        jax.ShapeDtypeStruct((1, mlp), jnp.float32),      # dbfc1
+        jax.ShapeDtypeStruct((mlp, dim), jnp.float32),    # dwfc2
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dbfc2
+    )
+    (dx1, dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, group=gm, ln_eps=ln_eps),
+        out_shape=m_out_shapes,
+        grid=(B // gm,),
+        in_specs=[blk_m, blk_m] + [wspec(a.shape) for a in m_in[2:]],
+        out_specs=(blk_m,) + tuple(wspec(o.shape) for o in m_out_shapes[1:]),
+        interpret=interp,
+        compiler_params=params,
+    )(*m_in)
+
+    blk_a = pl.BlockSpec((ga, N, dim), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    a_in = [x, dx1, vec(ln1_scale), vec(ln1_bias), w_qkv, w_out]
+    a_out_shapes = (
+        jax.ShapeDtypeStruct((B, N, dim), x.dtype),        # dx
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dln1_s
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dln1_b
+        jax.ShapeDtypeStruct((dim, 3 * hd), jnp.float32),  # dwqkv
+        jax.ShapeDtypeStruct((hd, dim), jnp.float32),      # dwout
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),       # dbout
+    )
+    (dx, dln1_s, dln1_b, dwqkv, dwout, dbout) = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel, heads=heads, dim_head=dim_head,
+            valid_len=valid_len, ln_eps=ln_eps, group=ga,
+            fast_softmax=fast_softmax,
+        ),
+        out_shape=a_out_shapes,
+        grid=(B // ga,),
+        in_specs=[blk_a, blk_a] + [wspec(a.shape) for a in a_in[2:]],
+        out_specs=(blk_a,) + tuple(wspec(o.shape) for o in a_out_shapes[1:]),
+        interpret=interp,
+        compiler_params=params,
+    )(*a_in)
+
+    return (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
+            dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
+
+
 def _xla_block_ref(
     x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
@@ -688,23 +973,60 @@ def fused_block_train(
 def _fbt_fwd(x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
              ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
              heads, dim_head, valid_len, ln_eps):
-    out = fused_block(
-        x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
-        ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
-        heads=heads, dim_head=dim_head, valid_len=valid_len, ln_eps=ln_eps,
+    hd = heads * dim_head
+    mono = _bwd_kernel_feasible(x.shape[1], x.shape[2], w_fc1.shape[1],
+                                hd, heads)
+    split = (not mono) and _split_bwd_feasible(
+        x.shape[1], x.shape[2], w_fc1.shape[1], hd, heads
     )
-    res = (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+    if split:
+        out, x1 = fused_block(
+            x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+            heads=heads, dim_head=dim_head, valid_len=valid_len,
+            ln_eps=ln_eps, save_x1=True,
+        )
+    else:
+        out = fused_block(
+            x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+            heads=heads, dim_head=dim_head, valid_len=valid_len,
+            ln_eps=ln_eps,
+        )
+        x1 = None
+    res = (x, x1, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2)
     return out, res
 
 
 def _fbt_bwd(heads, dim_head, valid_len, ln_eps, res, g):
-    (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+    (x, x1, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
      ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2) = res
     vl = x.shape[1] if valid_len is None else int(valid_len)
     if not _bwd_kernel_feasible(x.shape[1], x.shape[2], w_fc1.shape[1],
                                 heads * dim_head, heads):
-        # large-dim fallback: autodiff through the XLA mirror of the block
+        if x1 is not None:
+            # split two-kernel backward (forward saved x1)
+            (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
+             dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = _block_bwd_split(
+                x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
+                ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+                heads=heads, dim_head=dim_head, valid_len=vl, ln_eps=ln_eps,
+            )
+
+            def like_s(d, ref):
+                return d.reshape(ref.shape).astype(ref.dtype)
+
+            return (
+                dx,
+                like_s(dln1_s, ln1_scale), like_s(dln1_b, ln1_bias),
+                like_s(dwqkv, w_qkv), like_s(dwout, w_out),
+                like_s(dbout, b_out),
+                like_s(dln2_s, ln2_scale), like_s(dln2_b, ln2_bias),
+                like_s(dwfc1, w_fc1), like_s(dbfc1, b_fc1),
+                like_s(dwfc2, w_fc2), like_s(dbfc2, b_fc2),
+            )
+        # largest-dim fallback: autodiff through the XLA mirror of the block
         _, vjp = jax.vjp(
             functools.partial(
                 _xla_block_ref, heads=heads, dim_head=dim_head, valid_len=vl,

@@ -300,19 +300,71 @@ def test_cls_blocks_grouped_match_ungrouped():
                                    atol=1e-5, rtol=1e-5)
 
 
-def test_large_dim_bwd_fallback_grads_match_autodiff():
+def test_split_backward_matches_monolithic_kernel():
+    """The two-kernel split backward (_block_bwd_split: MLP-grad kernel from
+    the forward-saved x1, then attention-grad kernel) is the same math as
+    the monolithic _block_bwd — with fp32 inputs the dx1 HBM round trip is
+    lossless, so all 12 gradients must agree to float tolerance."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        _block_bwd, _block_bwd_split, fused_block,
+    )
+
+    B, N, dim, heads, dh, mlp = 4, 16, 32, 2, 16, 64
+    hd = heads * dh
+    vl = 13
+    rng = np.random.default_rng(7)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+
+    x = mk(B, N, dim)
+    g = mk(B, N, dim)
+    w = dict(l1s=mk(dim) + 1, l1b=mk(dim), wqkv=mk(dim, 3 * hd),
+             wout=mk(hd, dim), bout=mk(dim), l2s=mk(dim) + 1, l2b=mk(dim),
+             wfc1=mk(dim, mlp), bfc1=mk(mlp), wfc2=mk(mlp, dim),
+             bfc2=mk(dim))
+    _, x1 = fused_block(
+        x, w["l1s"], w["l1b"], w["wqkv"], w["wout"], w["bout"],
+        w["l2s"], w["l2b"], w["wfc1"], w["bfc1"], w["wfc2"], w["bfc2"],
+        heads=heads, dim_head=dh, valid_len=vl, save_x1=True,
+    )
+    mono = _block_bwd(
+        x, g, w["l1s"], w["l1b"], w["wqkv"], w["wout"], w["bout"],
+        w["l2s"], w["l2b"], w["wfc1"], w["bfc1"], w["wfc2"],
+        heads=heads, dim_head=dh, valid_len=vl, ln_eps=1e-5,
+    )
+    split = _block_bwd_split(
+        x, x1, g, w["l1s"], w["l1b"], w["wqkv"], w["wout"],
+        w["l2s"], w["l2b"], w["wfc1"], w["bfc1"], w["wfc2"],
+        heads=heads, dim_head=dh, valid_len=vl, ln_eps=1e-5,
+    )
+    assert len(mono) == len(split) == 12
+    for a, b in zip(mono, split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("path", ["split", "xla"])
+def test_large_dim_bwd_fallback_grads_match_autodiff(path, monkeypatch):
     """At dims where the single-kernel backward cannot fit VMEM
     (_bwd_kernel_feasible False — e.g. dim 1024: 183M measured vs the 128M
-    chip), fused_block_train's VJP routes through autodiff of the XLA block
-    mirror. The gradients must still match jax.grad through an explicit
-    einsum block (same contract as the kernel backward)."""
+    chip), fused_block_train's VJP routes through the SPLIT two-kernel
+    backward when each branch fits alone (this shape at N=48), else through
+    autodiff of the XLA block mirror ("xla", forced here by disabling the
+    split gate). Both must match jax.grad through an explicit einsum block
+    (same contract as the kernel backward)."""
+    import surface_vision_transformers_tpu.ops.pallas.fused_block as fb
     from surface_vision_transformers_tpu.ops.pallas.fused_block import (
-        _bwd_kernel_feasible, fused_block_train,
+        _bwd_kernel_feasible, _split_bwd_feasible, fused_block_train,
     )
 
     N, dim, heads, dh, mlp = 48, 1024, 4, 256, 4096
     hd = heads * dh
     assert not _bwd_kernel_feasible(N, dim, mlp, hd, heads)
+    assert _split_bwd_feasible(N, dim, mlp, hd, heads)
+    if path == "xla":
+        monkeypatch.setattr(fb, "_split_bwd_feasible",
+                            lambda *a, **k: False)
     rng = np.random.default_rng(5)
 
     def mk(*s):
