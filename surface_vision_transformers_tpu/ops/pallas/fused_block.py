@@ -1084,7 +1084,8 @@ def _block_cls_kernel(
     ln1_s_ref, ln1_b_ref, wq_ref, wkv_ref, wout_ref, bout_ref,
     ln2_s_ref, ln2_b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
     o_ref,
-    *, heads, dim_head, valid_len, group, ln_eps, fast_softmax,
+    *opt_x1_ref,
+    heads, dim_head, valid_len, group, ln_eps, fast_softmax,
 ):
     np_ = x_ref.shape[1]
     dim = x_ref.shape[2]
@@ -1163,6 +1164,9 @@ def _block_cls_kernel(
     o_ref[...] = (x1.astype(jnp.float32) + f).astype(o_ref.dtype).reshape(
         group, rows, dim
     )
+    if opt_x1_ref:
+        # split-backward support (see _block_cls_bwd_split)
+        opt_x1_ref[0][...] = x1.reshape(group, rows, dim)
 
 
 def fused_block_cls(
@@ -1176,10 +1180,13 @@ def fused_block_cls(
     ln_eps: float = 1e-5,
     group: int | None = None,
     fast_softmax: bool = True,
+    save_x1: bool = False,
 ) -> jax.Array:
     """Final transformer block for CLS pooling: returns only the first 8
     output rows (row 0 is the CLS token). x: (B, N, dim), N % 8 == 0.
-    Samples flatten into the LN/KV GEMMs like fused_block."""
+    Samples flatten into the LN/KV GEMMs like fused_block. ``save_x1=True``
+    returns (out, x1) with x1 the 8-row attention-branch residual for the
+    split backward."""
     B, N, dim = x.shape
     if N % 8 != 0:
         raise NotImplementedError("fused_block_cls requires N % 8 == 0")
@@ -1208,15 +1215,16 @@ def fused_block_cls(
         vec(ln2_scale), vec(ln2_bias),
         w_fc1, vec(b_fc1), w_fc2, vec(b_fc2),
     ]
+    out_shape = jax.ShapeDtypeStruct((B, 8, dim), x.dtype)
     return pl.pallas_call(
         functools.partial(
             _block_cls_kernel, heads=heads, dim_head=dim_head, valid_len=vl,
             group=G, ln_eps=ln_eps, fast_softmax=fast_softmax,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 8, dim), x.dtype),
+        out_shape=(out_shape, out_shape) if save_x1 else out_shape,
         grid=(B // G,),
         in_specs=[blk_x] + [wspec(a) for a in args],
-        out_specs=blk_o,
+        out_specs=(blk_o, blk_o) if save_x1 else blk_o,
         interpret=jax.default_backend() != "tpu",
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024
@@ -1452,6 +1460,228 @@ def _block_cls_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     )(*in_arrays)
 
 
+def _attn_cls_bwd_kernel(
+    x_ref, dx1_ref,
+    ln1_s_ref, ln1_b_ref, wq_ref, wkv_ref, wout_ref,
+    dx_ref,
+    dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref,
+    *, heads, dim_head, valid_len, ln_eps, group, fast_softmax,
+):
+    """Attention-branch half of the cls split backward: same math as
+    _block_cls_bwd_kernel with the MLP section replaced by the incoming
+    dx1 cotangent (produced by _mlp_bwd_kernel on the 8-row tiles)."""
+    first = pl.program_id(0) == 0
+    np_ = x_ref.shape[1]
+    dim = x_ref.shape[2]
+    rows = dx1_ref.shape[1]
+    hd = heads * dim_head
+    scale = dim_head ** -0.5
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (rows, np_), 1)
+    ln1_s = ln1_s_ref[0].astype(jnp.float32)
+    ln1_b = ln1_b_ref[0].astype(jnp.float32)
+
+    x = x_ref[...].reshape(group * np_, dim)
+    dx1 = dx1_ref[...].reshape(group * rows, dim).astype(jnp.float32)
+
+    h1f, n1, rstd1 = _ln_fwd_cache(x, ln1_s, ln1_b, ln_eps)
+    h1 = h1f.astype(x.dtype)
+    kv = _mm(h1, wkv_ref[:]).astype(x.dtype)  # (G*Np, 2*hd)
+    h1_top = _top_rows(h1, group, np_, rows)
+    q_top = _mm(h1_top, wq_ref[:]).astype(x.dtype)  # (G*rows, hd)
+
+    att_rows, pn_parts, ok_parts = [], [], []
+    for g_i in range(group):
+        kv_g = kv[g_i * np_:(g_i + 1) * np_]
+        q_g = q_top[g_i * rows:(g_i + 1) * rows]
+        att_parts = []
+        for hh in range(heads):
+            q = q_g[:, hh * dim_head:(hh + 1) * dim_head]
+            k = kv_g[:, hh * dim_head:(hh + 1) * dim_head]
+            s = _mm(q, k, ((1,), (1,))) * scale  # (rows, Np)
+            s = jnp.where(col8 < valid_len, s, _NEG_INF)
+            p, l = _softmax_rows(s, fast_softmax)
+            pn = p / l
+            pn_parts.append(pn)
+            ok_parts.append((s <= _CLAMP) if fast_softmax else None)
+            v = kv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            att_parts.append(_mm(pn.astype(v.dtype), v).astype(x.dtype))
+        att_rows.append(jnp.concatenate(att_parts, axis=-1))
+    a = jnp.concatenate(att_rows, axis=0)  # (G*rows, hd)
+
+    dx1b = dx1.astype(x.dtype)
+    dbout = jnp.sum(dx1, axis=0, keepdims=True)
+    dwout = _mm(a, dx1b, ((0,), (0,)))
+    da = _mm(dx1b, wout_ref[:], ((1,), (1,))).astype(x.dtype)
+
+    dq_rows, dkv_rows = [], []
+    for g_i in range(group):
+        kv_g = kv[g_i * np_:(g_i + 1) * np_]
+        q_g = q_top[g_i * rows:(g_i + 1) * rows]
+        da_g = da[g_i * rows:(g_i + 1) * rows]
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for hh in range(heads):
+            q = q_g[:, hh * dim_head:(hh + 1) * dim_head]
+            k = kv_g[:, hh * dim_head:(hh + 1) * dim_head]
+            v = kv_g[:, hd + hh * dim_head:hd + (hh + 1) * dim_head]
+            da_h = da_g[:, hh * dim_head:(hh + 1) * dim_head]
+            pn = pn_parts[g_i * heads + hh]
+            pb = pn.astype(x.dtype)
+            dv_parts.append(_mm(pb, da_h, ((0,), (0,))).astype(x.dtype))
+            dp = _mm(da_h, v, ((1,), (1,)))  # (rows, Np)
+            delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
+            ds = pn * (dp - delta) * scale
+            if ok_parts[g_i * heads + hh] is not None:
+                ds = jnp.where(ok_parts[g_i * heads + hh], ds, 0.0)
+            ds = ds.astype(x.dtype)
+            dq_parts.append(_mm(ds, k).astype(x.dtype))
+            dk_parts.append(_mm(ds, q, ((0,), (0,))).astype(x.dtype))
+        dq_rows.append(jnp.concatenate(dq_parts, axis=-1))
+        dkv_rows.append(jnp.concatenate(dk_parts + dv_parts, axis=-1))
+    dq_top = jnp.concatenate(dq_rows, axis=0)
+    dkv = jnp.concatenate(dkv_rows, axis=0)
+
+    dw_q = _mm(h1_top, dq_top, ((0,), (0,)))
+    dw_kv = _mm(h1, dkv, ((0,), (0,)))
+    dwqkv = jnp.concatenate([dw_q, dw_kv], axis=-1)
+
+    dh1 = _mm(dkv, wkv_ref[:], ((1,), (1,)))
+    dh1_top = _mm(dq_top, wq_ref[:], ((1,), (1,)))
+    dh1 = jnp.concatenate([
+        jnp.concatenate([
+            dh1[g_i * np_:g_i * np_ + rows]
+            + dh1_top[g_i * rows:(g_i + 1) * rows],
+            dh1[g_i * np_ + rows:(g_i + 1) * np_],
+        ], axis=0)
+        for g_i in range(group)
+    ], axis=0)
+    dx_ln, dln1_s, dln1_b = _ln_bwd(dh1, n1, rstd1, ln1_s)
+    dx = jnp.concatenate([
+        jnp.concatenate([
+            dx_ln[g_i * np_:g_i * np_ + rows]
+            + dx1[g_i * rows:(g_i + 1) * rows],
+            dx_ln[g_i * np_ + rows:(g_i + 1) * np_],
+        ], axis=0)
+        for g_i in range(group)
+    ], axis=0)
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(group, np_, dim)
+
+    grads = (dln1_s, dln1_b, dwqkv, dwout, dbout)
+    out_refs = (dln1_s_ref, dln1_b_ref, dwqkv_ref, dwout_ref, dbout_ref)
+
+    @pl.when(first)
+    def _():
+        for ref, val in zip(out_refs, grads):
+            ref[:] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        for ref, val in zip(out_refs, grads):
+            ref[:] += val
+
+
+def _block_cls_bwd_split(x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
+                         ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+                         *, heads, dim_head, valid_len, ln_eps,
+                         fast_softmax: bool = True):
+    """Two-kernel cls-block backward for dims the monolithic cls kernel
+    can't hold: _mlp_bwd_kernel on the 8-row (x1, g) tiles, then
+    _attn_cls_bwd_kernel on (x, dx1). Returns the same 12 gradients as
+    _block_cls_bwd."""
+    B, N, dim = x.shape
+    rows = g.shape[1]
+    mlp = w_fc1.shape[1]
+    hd = heads * dim_head
+
+    # MLP kernel group: accum 2*dim*mlp fp32 + tiny 8-row tiles
+    gm = _auto_group(dim, bwd=True)
+    per_m = rows * (mlp * 12 + dim * 16)
+    acc_m = 2 * dim * mlp * 4
+    while gm > 1 and gm * per_m + acc_m > _GROUP_VMEM_BUDGET:
+        gm //= 2
+    gm = _fit_group(gm, B)
+    # attention kernel group: accum (3hd+hd)*dim fp32 + full-length kv tiles
+    ga = _auto_group(dim, bwd=True)
+    per_a = N * (hd * 2 * 6 + dim * 16) + heads * rows * N * 8
+    acc_a = (dim * 3 * hd + hd * dim) * 4
+    while ga > 1 and ga * per_a + acc_a > _GROUP_VMEM_BUDGET:
+        ga //= 2
+    ga = _fit_group(ga, B)
+
+    def vec(v):
+        return v.reshape(1, -1)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda b: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    interp = jax.default_backend() != "tpu"
+    params = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+    blk_m = pl.BlockSpec((gm, rows, dim), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    m_in = [x1, g, vec(ln2_scale), vec(ln2_bias), w_fc1, vec(b_fc1), w_fc2]
+    m_out_shapes = (
+        jax.ShapeDtypeStruct((B, rows, dim), x.dtype),    # dx1
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),
+        jax.ShapeDtypeStruct((dim, mlp), jnp.float32),
+        jax.ShapeDtypeStruct((1, mlp), jnp.float32),
+        jax.ShapeDtypeStruct((mlp, dim), jnp.float32),
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),
+    )
+    (dx1, dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, group=gm, ln_eps=ln_eps),
+        out_shape=m_out_shapes,
+        grid=(B // gm,),
+        in_specs=[blk_m, blk_m] + [wspec(a.shape) for a in m_in[2:]],
+        out_specs=(blk_m,) + tuple(wspec(o.shape) for o in m_out_shapes[1:]),
+        interpret=interp,
+        compiler_params=params,
+    )(*m_in)
+
+    blk_a = pl.BlockSpec((ga, N, dim), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_a8 = pl.BlockSpec((ga, rows, dim), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    a_in = [x, dx1, vec(ln1_scale), vec(ln1_bias), w_qkv[:, :hd],
+            w_qkv[:, hd:], w_out]
+    a_out_shapes = (
+        jax.ShapeDtypeStruct((B, N, dim), x.dtype),        # dx
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),
+        jax.ShapeDtypeStruct((dim, 3 * hd), jnp.float32),
+        jax.ShapeDtypeStruct((hd, dim), jnp.float32),
+        jax.ShapeDtypeStruct((1, dim), jnp.float32),
+    )
+    (dx, dln1_s, dln1_b, dwqkv, dwout, dbout) = pl.pallas_call(
+        functools.partial(
+            _attn_cls_bwd_kernel, heads=heads, dim_head=dim_head,
+            valid_len=valid_len, ln_eps=ln_eps, group=ga,
+            fast_softmax=fast_softmax,
+        ),
+        out_shape=a_out_shapes,
+        grid=(B // ga,),
+        in_specs=[blk_a, blk_a8] + [wspec(a.shape) for a in a_in[2:]],
+        out_specs=(blk_a,) + tuple(wspec(o.shape) for o in a_out_shapes[1:]),
+        interpret=interp,
+        compiler_params=params,
+    )(*a_in)
+
+    return (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
+            dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2)
+
+
+def _split_cls_bwd_feasible(N: int, dim: int, mlp: int, hd: int,
+                            heads: int, rows: int = 8) -> bool:
+    """Per-kernel bound for the cls split (mirrors _split_bwd_feasible)."""
+    acc_m = 2 * dim * mlp * 4
+    work_m = rows * (mlp * 12 + dim * 16)
+    acc_a = (dim * 3 * hd + hd * dim) * 4
+    work_a = N * (hd * 2 * 6 + dim * 16) + heads * rows * N * 8
+    bound = 40 * 1024 * 1024
+    return acc_m + work_m <= bound and acc_a + work_a <= bound
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15)
 )
@@ -1473,24 +1703,62 @@ def fused_block_cls_train(
 def _fbct_fwd(x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
               ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
               heads, dim_head, valid_len, ln_eps):
-    out = fused_block_cls(
-        x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
-        ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
-        heads=heads, dim_head=dim_head, valid_len=valid_len, ln_eps=ln_eps,
+    hd = heads * dim_head
+    mono = _bwd_kernel_feasible(x.shape[1], x.shape[2], w_fc1.shape[1],
+                                hd, heads)
+    split = (not mono) and _split_cls_bwd_feasible(
+        x.shape[1], x.shape[2], w_fc1.shape[1], hd, heads
     )
-    res = (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+    if split:
+        out, x1 = fused_block_cls(
+            x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+            heads=heads, dim_head=dim_head, valid_len=valid_len,
+            ln_eps=ln_eps, save_x1=True,
+        )
+    else:
+        out = fused_block_cls(
+            x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2,
+            heads=heads, dim_head=dim_head, valid_len=valid_len,
+            ln_eps=ln_eps,
+        )
+        x1 = None
+    res = (x, x1, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2)
     return out, res
 
 
 def _fbct_bwd(heads, dim_head, valid_len, ln_eps, res, g):
-    (x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
+    (x, x1, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
      ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2) = res
     vl = x.shape[1] if valid_len is None else int(valid_len)
     if not _bwd_kernel_feasible(x.shape[1], x.shape[2], w_fc1.shape[1],
                                 heads * dim_head, heads):
-        # same large-dim fallback as _fbt_bwd (the cls backward carries the
-        # same VMEM-resident weight-grad accumulators); cotangent covers the
+        if x1 is not None:
+            # split two-kernel cls backward (forward saved the 8-row x1)
+            (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
+             dln2_s, dln2_b, dwfc1, dbfc1, dwfc2,
+             dbfc2) = _block_cls_bwd_split(
+                x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
+                ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+                heads=heads, dim_head=dim_head, valid_len=vl, ln_eps=ln_eps,
+            )
+
+            def like_s(d, ref):
+                return d.reshape(ref.shape).astype(ref.dtype)
+
+            return (
+                dx,
+                like_s(dln1_s, ln1_scale), like_s(dln1_b, ln1_bias),
+                like_s(dwqkv, w_qkv), like_s(dwout, w_out),
+                like_s(dbout, b_out),
+                like_s(dln2_s, ln2_scale), like_s(dln2_b, ln2_bias),
+                like_s(dwfc1, w_fc1), like_s(dbfc1, b_fc1),
+                like_s(dwfc2, w_fc2), like_s(dbfc2, b_fc2),
+            )
+        # largest-dim fallback (the cls backward carries the same
+        # VMEM-resident weight-grad accumulators); cotangent covers the
         # first 8 rows only
         rows = g.shape[1]
         _, vjp = jax.vjp(

@@ -344,6 +344,86 @@ def test_split_backward_matches_monolithic_kernel():
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_cls_split_backward_matches_monolithic_kernel():
+    """The cls split backward (_block_cls_bwd_split: _mlp_bwd_kernel on the
+    8-row tiles + _attn_cls_bwd_kernel) equals the monolithic
+    _block_cls_bwd to float tolerance with fp32 inputs."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        _block_cls_bwd, _block_cls_bwd_split, fused_block_cls,
+    )
+
+    B, N, dim, heads, dh, mlp = 4, 16, 32, 2, 16, 64
+    hd = heads * dh
+    vl = 13
+    rng = np.random.default_rng(8)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+
+    x = mk(B, N, dim)
+    g = mk(B, 8, dim)
+    w = dict(l1s=mk(dim) + 1, l1b=mk(dim), wqkv=mk(dim, 3 * hd),
+             wout=mk(hd, dim), bout=mk(dim), l2s=mk(dim) + 1, l2b=mk(dim),
+             wfc1=mk(dim, mlp), bfc1=mk(mlp), wfc2=mk(mlp, dim),
+             bfc2=mk(dim))
+    _, x1 = fused_block_cls(
+        x, w["l1s"], w["l1b"], w["wqkv"], w["wout"], w["bout"],
+        w["l2s"], w["l2b"], w["wfc1"], w["bfc1"], w["wfc2"], w["bfc2"],
+        heads=heads, dim_head=dh, valid_len=vl, save_x1=True,
+    )
+    mono = _block_cls_bwd(
+        x, g, w["l1s"], w["l1b"], w["wqkv"], w["wout"], w["bout"],
+        w["l2s"], w["l2b"], w["wfc1"], w["bfc1"], w["wfc2"],
+        heads=heads, dim_head=dh, valid_len=vl, ln_eps=1e-5,
+    )
+    split = _block_cls_bwd_split(
+        x, x1, g, w["l1s"], w["l1b"], w["wqkv"], w["wout"],
+        w["l2s"], w["l2b"], w["wfc1"], w["bfc1"], w["wfc2"],
+        heads=heads, dim_head=dh, valid_len=vl, ln_eps=1e-5,
+    )
+    assert len(mono) == len(split) == 12
+    for a, b in zip(mono, split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_cls_split_gating_matches_autodiff(monkeypatch):
+    """fused_block_cls_train routed through the cls split path (feasibility
+    monkeypatched as at SiT-base dims) matches autodiff of the XLA mirror's
+    first 8 rows."""
+    import surface_vision_transformers_tpu.ops.pallas.fused_block as fb
+
+    B, N, dim, heads, dh, mlp = 2, 16, 32, 2, 16, 64
+    hd = heads * dh
+    vl = 13
+    monkeypatch.setattr(fb, "_bwd_kernel_feasible", lambda *a, **k: False)
+    rng = np.random.default_rng(9)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+
+    x = mk(B, N, dim)
+    w = (mk(dim) + 1, mk(dim), mk(dim, 3 * hd), mk(hd, dim), mk(dim),
+         mk(dim) + 1, mk(dim), mk(dim, mlp), mk(mlp), mk(mlp, dim), mk(dim))
+
+    def loss_k(args):
+        return jnp.mean(fb.fused_block_cls_train(x, *args, heads, dh, vl)
+                        [:, :1] ** 2)
+
+    def loss_e(args):
+        return jnp.mean(fb._xla_block_ref(
+            x, *args, heads=heads, dim_head=dh, valid_len=vl, ln_eps=1e-5,
+            attn="einsum",
+        )[:, :1] ** 2)
+
+    lk, gk = jax.value_and_grad(loss_k)(w)
+    le, ge = jax.value_and_grad(loss_e)(w)
+    assert abs(float(lk) - float(le)) < 1e-5
+    for a, b in zip(gk, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
+
+
 @pytest.mark.parametrize("path", ["split", "xla"])
 def test_large_dim_bwd_fallback_grads_match_autodiff(path, monkeypatch):
     """At dims where the single-kernel backward cannot fit VMEM

@@ -475,6 +475,28 @@ def test_split_backward_grads_on_chip():
         rel = np.linalg.norm(a64 - b64) / (np.linalg.norm(b64) + 1e-12)
         assert rel < 5e-2, rel  # bf16 params; paths differ in cast order
 
+    # the final CLS block's split backward at the same shape (cotangent on
+    # the first 8 rows only; CLS pooling reads row 0)
+    assert fb._split_cls_bwd_feasible(N, dim, mlp, hd, heads)
+
+    def loss_kc(args):
+        return jnp.mean(fb.fused_block_cls_train(
+            x, *args, heads, dh, vl)[:, :1].astype(jnp.float32) ** 2)
+
+    def loss_rc(args):
+        return jnp.mean(fb._xla_block_ref(
+            x, *args, heads=heads, dim_head=dh, valid_len=vl, ln_eps=1e-5,
+        )[:, :1].astype(jnp.float32) ** 2)
+
+    lkc, gkc = jax.jit(jax.value_and_grad(loss_kc))(w)
+    lrc, grc = jax.jit(jax.value_and_grad(loss_rc))(w)
+    assert abs(float(lkc) - float(lrc)) < 1e-4 * max(abs(float(lrc)), 1e-9) + 1e-6
+    for a, b in zip(gkc, grc):
+        a64 = np.asarray(a, np.float64)
+        b64 = np.asarray(b, np.float64)
+        rel = np.linalg.norm(a64 - b64) / (np.linalg.norm(b64) + 1e-12)
+        assert rel < 5e-2, rel
+
 
 def test_dropout_grad_regenerates_forward_mask():
     """ADVICE r2: the dropout kernel's backward REGENERATES the Mosaic PRNG
