@@ -763,6 +763,16 @@ def _split_groups(N: int, dim: int, mlp: int, hd: int, heads: int,
     return _fit_group(gm, B), _fit_group(ga, B)
 
 
+def _prefer_split(dim: int) -> bool:
+    """Use the split backward even where the monolithic kernel fits:
+    epoch-level A/B on chip (3 repeats, same session) — dim 384: mono
+    1,942 vs split 2,215 surf/s (+14%); dim 512: 1,271 vs 1,350 (+6%);
+    dim 192: 5,632 vs 5,600 (mono, within noise). The split's two light
+    kernels schedule better than one kernel holding both branches' working
+    sets once the prob cache + accumulators grow past tiny dims."""
+    return dim > 256
+
+
 def _split_bwd_feasible(N: int, dim: int, mlp: int, hd: int,
                         heads: int) -> bool:
     """Can each split kernel hold its single-branch accumulators plus a G=1
@@ -976,7 +986,7 @@ def _fbt_fwd(x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     hd = heads * dim_head
     mono = _bwd_kernel_feasible(x.shape[1], x.shape[2], w_fc1.shape[1],
                                 hd, heads)
-    split = (not mono) and _split_bwd_feasible(
+    split = (not mono or _prefer_split(x.shape[2])) and _split_bwd_feasible(
         x.shape[1], x.shape[2], w_fc1.shape[1], hd, heads
     )
     if split:
@@ -1003,29 +1013,30 @@ def _fbt_bwd(heads, dim_head, valid_len, ln_eps, res, g):
     (x, x1, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
      ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2) = res
     vl = x.shape[1] if valid_len is None else int(valid_len)
+    if x1 is not None:
+        # split two-kernel backward (forward saved x1 — either the
+        # monolithic kernel doesn't fit, or _prefer_split measured faster)
+        (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
+         dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = _block_bwd_split(
+            x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
+            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+            heads=heads, dim_head=dim_head, valid_len=vl, ln_eps=ln_eps,
+        )
+
+        def like_s(d, ref):
+            return d.reshape(ref.shape).astype(ref.dtype)
+
+        return (
+            dx,
+            like_s(dln1_s, ln1_scale), like_s(dln1_b, ln1_bias),
+            like_s(dwqkv, w_qkv), like_s(dwout, w_out),
+            like_s(dbout, b_out),
+            like_s(dln2_s, ln2_scale), like_s(dln2_b, ln2_bias),
+            like_s(dwfc1, w_fc1), like_s(dbfc1, b_fc1),
+            like_s(dwfc2, w_fc2), like_s(dbfc2, b_fc2),
+        )
     if not _bwd_kernel_feasible(x.shape[1], x.shape[2], w_fc1.shape[1],
                                 heads * dim_head, heads):
-        if x1 is not None:
-            # split two-kernel backward (forward saved x1)
-            (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
-             dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = _block_bwd_split(
-                x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
-                ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
-                heads=heads, dim_head=dim_head, valid_len=vl, ln_eps=ln_eps,
-            )
-
-            def like_s(d, ref):
-                return d.reshape(ref.shape).astype(ref.dtype)
-
-            return (
-                dx,
-                like_s(dln1_s, ln1_scale), like_s(dln1_b, ln1_bias),
-                like_s(dwqkv, w_qkv), like_s(dwout, w_out),
-                like_s(dbout, b_out),
-                like_s(dln2_s, ln2_scale), like_s(dln2_b, ln2_bias),
-                like_s(dwfc1, w_fc1), like_s(dbfc1, b_fc1),
-                like_s(dwfc2, w_fc2), like_s(dbfc2, b_fc2),
-            )
         # largest-dim fallback: autodiff through the XLA mirror of the block
         _, vjp = jax.vjp(
             functools.partial(
@@ -1706,7 +1717,9 @@ def _fbct_fwd(x, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     hd = heads * dim_head
     mono = _bwd_kernel_feasible(x.shape[1], x.shape[2], w_fc1.shape[1],
                                 hd, heads)
-    split = (not mono) and _split_cls_bwd_feasible(
+    split = (
+        not mono or _prefer_split(x.shape[2])
+    ) and _split_cls_bwd_feasible(
         x.shape[1], x.shape[2], w_fc1.shape[1], hd, heads
     )
     if split:
@@ -1733,30 +1746,30 @@ def _fbct_bwd(heads, dim_head, valid_len, ln_eps, res, g):
     (x, x1, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
      ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2, b_fc2) = res
     vl = x.shape[1] if valid_len is None else int(valid_len)
+    if x1 is not None:
+        # split two-kernel cls backward (forward saved the 8-row x1)
+        (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
+         dln2_s, dln2_b, dwfc1, dbfc1, dwfc2,
+         dbfc2) = _block_cls_bwd_split(
+            x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
+            ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+            heads=heads, dim_head=dim_head, valid_len=vl, ln_eps=ln_eps,
+        )
+
+        def like_s(d, ref):
+            return d.reshape(ref.shape).astype(ref.dtype)
+
+        return (
+            dx,
+            like_s(dln1_s, ln1_scale), like_s(dln1_b, ln1_bias),
+            like_s(dwqkv, w_qkv), like_s(dwout, w_out),
+            like_s(dbout, b_out),
+            like_s(dln2_s, ln2_scale), like_s(dln2_b, ln2_bias),
+            like_s(dwfc1, w_fc1), like_s(dbfc1, b_fc1),
+            like_s(dwfc2, w_fc2), like_s(dbfc2, b_fc2),
+        )
     if not _bwd_kernel_feasible(x.shape[1], x.shape[2], w_fc1.shape[1],
                                 heads * dim_head, heads):
-        if x1 is not None:
-            # split two-kernel cls backward (forward saved the 8-row x1)
-            (dx, dln1_s, dln1_b, dwqkv, dwout, dbout,
-             dln2_s, dln2_b, dwfc1, dbfc1, dwfc2,
-             dbfc2) = _block_cls_bwd_split(
-                x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
-                ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
-                heads=heads, dim_head=dim_head, valid_len=vl, ln_eps=ln_eps,
-            )
-
-            def like_s(d, ref):
-                return d.reshape(ref.shape).astype(ref.dtype)
-
-            return (
-                dx,
-                like_s(dln1_s, ln1_scale), like_s(dln1_b, ln1_bias),
-                like_s(dwqkv, w_qkv), like_s(dwout, w_out),
-                like_s(dbout, b_out),
-                like_s(dln2_s, ln2_scale), like_s(dln2_b, ln2_bias),
-                like_s(dwfc1, w_fc1), like_s(dbfc1, b_fc1),
-                like_s(dwfc2, w_fc2), like_s(dbfc2, b_fc2),
-            )
         # largest-dim fallback (the cls backward carries the same
         # VMEM-resident weight-grad accumulators); cotangent covers the
         # first 8 rows only

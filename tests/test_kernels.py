@@ -308,3 +308,39 @@ def test_bwd_kernel_feasible_boundaries():
     assert _bwd_kernel_feasible(328, 512, 2048, 512, 8)
     assert not _bwd_kernel_feasible(328, 768, 3072, 768, 12)   # SiT-base
     assert not _bwd_kernel_feasible(328, 1024, 4096, 1024, 16)
+
+
+def test_split_backward_policy():
+    """Backward-path routing as measured on chip (docs/design.md): the
+    monolithic kernel only at tiny dims; the SPLIT two-kernel backward for
+    384-768 (faster at 384/512 even though the monolithic fits: +14%/+6%
+    epoch-level, and the only kernel option at 768); the XLA fallback at
+    1024 (split MLP kernel ~55M > the 40M per-kernel bound). _fbt_fwd must
+    save x1 exactly when the split will run."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        _fbt_fwd, _prefer_split, _split_bwd_feasible, _split_cls_bwd_feasible,
+    )
+
+    assert not _prefer_split(192)
+    assert _prefer_split(384) and _prefer_split(512) and _prefer_split(768)
+    assert _split_bwd_feasible(328, 384, 1536, 384, 6)
+    assert _split_bwd_feasible(328, 768, 3072, 768, 12)
+    assert not _split_bwd_feasible(328, 1024, 4096, 1024, 16)
+    assert _split_cls_bwd_feasible(328, 768, 3072, 768, 12)
+
+    rng = np.random.default_rng(0)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+
+    for dim, heads, expect_x1 in ((32, 2, False), (384, 6, True)):
+        dh, mlp, hd = 16 if dim == 32 else 64, 2 * dim, None
+        hd = heads * dh
+        w = (mk(dim) + 1, mk(dim), mk(dim, 3 * hd), mk(hd, dim), mk(dim),
+             mk(dim) + 1, mk(dim), mk(dim, mlp), mk(mlp), mk(mlp, dim),
+             mk(dim))
+        _, res = _fbt_fwd(mk(2, 16, dim), *w, heads, dh, 13, 1e-5)
+        assert (res[1] is not None) == expect_x1, (dim, res[1] is None)
