@@ -468,7 +468,9 @@ def test_split_backward_grads_on_chip():
 
     lk, gk = jax.jit(jax.value_and_grad(loss_k))(w)
     lr, gr = jax.jit(jax.value_and_grad(loss_ref))(w)
-    assert abs(float(lk) - float(lr)) < 1e-4 * max(abs(float(lr)), 1e-9) + 1e-6
+    # bf16 activations, different reduction orders between the megakernel
+    # and the XLA mirror: loss agrees to bf16 tolerance, grads to 5%
+    assert abs(float(lk) - float(lr)) < 5e-3 * max(abs(float(lr)), 1e-9) + 1e-6
     for a, b in zip(gk, gr):
         a64 = np.asarray(a, np.float64)
         b64 = np.asarray(b, np.float64)
@@ -490,7 +492,7 @@ def test_split_backward_grads_on_chip():
 
     lkc, gkc = jax.jit(jax.value_and_grad(loss_kc))(w)
     lrc, grc = jax.jit(jax.value_and_grad(loss_rc))(w)
-    assert abs(float(lkc) - float(lrc)) < 1e-4 * max(abs(float(lrc)), 1e-9) + 1e-6
+    assert abs(float(lkc) - float(lrc)) < 5e-3 * max(abs(float(lrc)), 1e-9) + 1e-6
     for a, b in zip(gkc, grc):
         a64 = np.asarray(a, np.float64)
         b64 = np.asarray(b, np.float64)
