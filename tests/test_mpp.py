@@ -51,6 +51,37 @@ def test_corruption_rates():
     assert abs(swapped[mask].mean() - swap_rate * (1 - 0.8)) < 0.02
 
 
+def test_onehot_swap_bitwise_equals_gather():
+    """The swap's one-hot-GEMM form (L <= 512 fast path) is BITWISE the
+    take_along_axis gather it replaced — one-hot matmuls move exact values.
+    Checked for bf16 and fp32 tokens at the recipe's corruption rates."""
+    for dtype in (jnp.bfloat16, jnp.float32):
+        tokens = jax.random.normal(
+            jax.random.PRNGKey(4), (8, 320, 612)).astype(dtype)
+        mask_token = jax.random.normal(
+            jax.random.PRNGKey(5), (1, 1, 612), jnp.float32)
+        key = jax.random.PRNGKey(6)
+        fast, m_fast, _ = corrupt_sequence(
+            key, tokens, mask_token,
+            mask_prob=0.75, replace_prob=0.8, swap_prob=0.02)
+
+        # reference gather form (the L > 512 branch), same PRNG stream
+        B, L, _ = tokens.shape
+        k_mask, k_swapsel, k_swapidx, k_repl = jax.random.split(key, 4)
+        mask, _ = exact_count_mask(k_mask, B, L, 0.75)
+        swap_sel = jnp.logical_and(
+            mask, jax.random.uniform(k_swapsel, (B, L)) < 0.02 / 0.2)
+        rand_idx = jax.random.randint(k_swapidx, (B, L), 0, L)
+        idx = jnp.where(swap_sel, rand_idx, jnp.arange(L)[None, :])
+        ref = jnp.take_along_axis(tokens, idx[:, :, None], axis=1)
+        repl_sel = jnp.logical_and(
+            mask, jax.random.uniform(k_repl, (B, L)) < 0.8)
+        ref = jnp.where(repl_sel[:, :, None], mask_token.astype(dtype), ref)
+
+        assert (np.asarray(fast) == np.asarray(ref)).all(), dtype
+        assert (np.asarray(m_fast) == np.asarray(mask)).all()
+
+
 def test_mpp_loss_shapes_and_grads():
     model = small_sit()
     mpp = MPP(encoder=model, mask_prob=0.75, replace_prob=0.8, swap_prob=0.02)
