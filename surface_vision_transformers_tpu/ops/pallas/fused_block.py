@@ -645,6 +645,76 @@ def _mlp_bwd_kernel(
             ref[:] += val
 
 
+def _mlp_bwd_kernel_chunked(
+    x1_ref, g_ref,
+    ln2_s_ref, ln2_b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+    dh2_ref,
+    dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref,
+    *, group, ln_eps, n_chunks,
+):
+    """MLP-grad kernel with the mlp (hidden) dimension CHUNKED over a second
+    grid axis, for dims whose full (dim, mlp) fp32 accumulators don't fit
+    VMEM (dim 1024/mlp 4096: ~34M accums + working set > the 40M bound).
+    Each program recomputes LN2 (cheap, dim-wide) and its mlp slice of
+    f1/GELU, producing that slice's dwfc1/dbfc1/dwfc2 and a PARTIAL dh2.
+    dh2 accumulates across the chunk axis (fp32, exact); the LN2 backward
+    and the residual add run OUTSIDE in XLA (see _block_bwd_split) because
+    they mix across the full dim. dbfc2 = sum(g) is chunk-invariant and
+    written once at c == 0."""
+    first_b = pl.program_id(0) == 0
+    first_c = pl.program_id(1) == 0
+    np_ = x1_ref.shape[1]
+    dim = x1_ref.shape[2]
+    ln2_s = ln2_s_ref[0].astype(jnp.float32)
+    ln2_b = ln2_b_ref[0].astype(jnp.float32)
+
+    x1 = x1_ref[...].reshape(group * np_, dim)
+    g = g_ref[...].reshape(group * np_, dim).astype(jnp.float32)
+
+    h2f, _, _ = _ln_fwd_cache(x1, ln2_s, ln2_b, ln_eps)
+    h2 = h2f.astype(x1.dtype)
+    f1 = _mm(h2, wfc1_ref[:]) + bfc1_ref[0].astype(jnp.float32)
+    gl, dgl_df1 = _gelu_tanh_and_grad(f1)
+    glb = gl.astype(x1.dtype)
+    gb = g.astype(x1.dtype)
+
+    dwfc2 = _mm(glb, gb, ((0,), (0,)))  # (mc, dim)
+    dgl = _mm(gb, wfc2_ref[:], ((1,), (1,)))  # (G*Np, mc) f32
+    df1 = dgl * dgl_df1
+    df1b = df1.astype(x1.dtype)
+    dwfc1 = _mm(h2, df1b, ((0,), (0,)))  # (dim, mc)
+    dbfc1 = jnp.sum(df1, axis=0, keepdims=True)
+    dh2_part = _mm(df1b, wfc1_ref[:], ((1,), (1,)))  # (G*Np, dim) f32
+
+    @pl.when(first_c)
+    def _():
+        dh2_ref[...] = dh2_part.reshape(group, np_, dim)
+
+    @pl.when(jnp.logical_not(first_c))
+    def _():
+        dh2_ref[...] += dh2_part.reshape(group, np_, dim)
+
+    @pl.when(jnp.logical_and(first_b, first_c))
+    def _():
+        dbfc2_ref[:] = jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(jnp.logical_and(jnp.logical_not(first_b), first_c))
+    def _():
+        dbfc2_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(first_b)
+    def _():
+        dwfc1_ref[:] = dwfc1
+        dbfc1_ref[:] = dbfc1
+        dwfc2_ref[:] = dwfc2
+
+    @pl.when(jnp.logical_not(first_b))
+    def _():
+        dwfc1_ref[:] += dwfc1
+        dbfc1_ref[:] += dbfc1
+        dwfc2_ref[:] += dwfc2
+
+
 def _attn_bwd_kernel(
     x_ref, dx1_ref,
     ln1_s_ref, ln1_b_ref, wqkv_ref, wout_ref,
@@ -763,6 +833,25 @@ def _split_groups(N: int, dim: int, mlp: int, hd: int, heads: int,
     return _fit_group(gm, B), _fit_group(ga, B)
 
 
+def _mlp_chunks(N: int, dim: int, mlp: int) -> int:
+    """Smallest power-of-two chunking of the mlp dimension whose per-chunk
+    MLP-grad working set + accumulators fit the per-kernel bound (0 when
+    the UNCHUNKED kernel fits; chunking pays an LN2 recompute per chunk
+    and moves the LN2 backward to XLA, so it's reserved for dims the plain
+    kernel rejects — validated on chip at dim 1024/mlp 4096 -> C=2)."""
+    bound = 40 * 1024 * 1024
+    if N * (mlp * 12 + dim * 16) + 2 * dim * mlp * 4 <= bound:
+        return 0
+    c = 2
+    while c < mlp:
+        mc = mlp // c
+        if (N * (mc * 12 + dim * 20) + 2 * dim * mc * 4 + dim * 4 <= bound
+                and mlp % c == 0):
+            return c
+        c *= 2
+    return 0
+
+
 def _prefer_split(dim: int) -> bool:
     """Use the split backward even where the monolithic kernel fits:
     epoch-level A/B on chip (3 repeats, same session) — dim 384: mono
@@ -775,16 +864,20 @@ def _prefer_split(dim: int) -> bool:
 
 def _split_bwd_feasible(N: int, dim: int, mlp: int, hd: int,
                         heads: int) -> bool:
-    """Can each split kernel hold its single-branch accumulators plus a G=1
-    working set? Mirrors _bwd_kernel_feasible's 40M bound per kernel.
-    dim 768/mlp 3072 (SiT-base): MLP kernel ~35M, attn kernel ~28M -> split;
-    dim 1024/mlp 4096: MLP kernel ~55M -> still the XLA fallback."""
-    acc_m = 2 * dim * mlp * 4
-    work_m = N * (mlp * 12 + dim * 16)
-    acc_a = (dim * 3 * hd + hd * dim) * 4
-    work_a = N * (hd * 3 * 6 + dim * 16) + heads * N * N * 8
+    """Can each split kernel run? MLP side: the unchunked kernel fits the
+    40M per-kernel bound, or an mlp-chunked grid does (_mlp_chunks).
+    Attention side: its accumulators + working set fit — the prob tiles
+    count as a few live (N, N) fp32 buffers, not heads' worth, because the
+    gradient loop RECOMPUTES probs per head (one live at a time plus
+    scheduling slack). dim 768 (SiT-base): unchunked MLP ~35M, attn ~28M;
+    dim 1024/mlp 4096: MLP chunks at C=2 (~28M/chunk), attn ~32M —
+    validated on chip."""
     bound = 40 * 1024 * 1024
-    return acc_m + work_m <= bound and acc_a + work_a <= bound
+    mlp_ok = (N * (mlp * 12 + dim * 16) + 2 * dim * mlp * 4 <= bound
+              or _mlp_chunks(N, dim, mlp) > 0)
+    acc_a = (dim * 3 * hd + hd * dim) * 4
+    work_a = N * (hd * 3 * 6 + dim * 16) + 4 * N * N * 8
+    return mlp_ok and acc_a + work_a <= bound
 
 
 def _block_bwd_split(x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
@@ -812,25 +905,96 @@ def _block_bwd_split(x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
 
     blk_m = pl.BlockSpec((gm, N, dim), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
-    m_in = [x1, g, vec(ln2_scale), vec(ln2_bias), w_fc1, vec(b_fc1), w_fc2]
-    m_out_shapes = (
-        jax.ShapeDtypeStruct((B, N, dim), x.dtype),       # dx1
-        jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dln2_s
-        jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dln2_b
-        jax.ShapeDtypeStruct((dim, mlp), jnp.float32),    # dwfc1
-        jax.ShapeDtypeStruct((1, mlp), jnp.float32),      # dbfc1
-        jax.ShapeDtypeStruct((mlp, dim), jnp.float32),    # dwfc2
-        jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dbfc2
-    )
-    (dx1, dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, group=gm, ln_eps=ln_eps),
-        out_shape=m_out_shapes,
-        grid=(B // gm,),
-        in_specs=[blk_m, blk_m] + [wspec(a.shape) for a in m_in[2:]],
-        out_specs=(blk_m,) + tuple(wspec(o.shape) for o in m_out_shapes[1:]),
-        interpret=interp,
-        compiler_params=params,
-    )(*m_in)
+    n_chunks = _mlp_chunks(N, dim, mlp)
+    if n_chunks == 0:
+        m_in = [x1, g, vec(ln2_scale), vec(ln2_bias), w_fc1, vec(b_fc1),
+                w_fc2]
+        m_out_shapes = (
+            jax.ShapeDtypeStruct((B, N, dim), x.dtype),       # dx1
+            jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dln2_s
+            jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dln2_b
+            jax.ShapeDtypeStruct((dim, mlp), jnp.float32),    # dwfc1
+            jax.ShapeDtypeStruct((1, mlp), jnp.float32),      # dbfc1
+            jax.ShapeDtypeStruct((mlp, dim), jnp.float32),    # dwfc2
+            jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dbfc2
+        )
+        (dx1, dln2_s, dln2_b, dwfc1, dbfc1, dwfc2, dbfc2) = pl.pallas_call(
+            functools.partial(_mlp_bwd_kernel, group=gm, ln_eps=ln_eps),
+            out_shape=m_out_shapes,
+            grid=(B // gm,),
+            in_specs=[blk_m, blk_m] + [wspec(a.shape) for a in m_in[2:]],
+            out_specs=(blk_m,) + tuple(
+                wspec(o.shape) for o in m_out_shapes[1:]
+            ),
+            interpret=interp,
+            compiler_params=params,
+        )(*m_in)
+    else:
+        # mlp-chunked variant (dims whose full accumulators don't fit):
+        # the kernel emits dh2 (pre-LN2-backward, fp32, accumulated over
+        # chunks); LN2 backward + residual add run here in XLA — they mix
+        # across the full dim, and three bandwidth-bound passes are cheap
+        # next to the GEMMs at these dims
+        mc = mlp // n_chunks
+        blk_mc = pl.BlockSpec((gm, N, dim), lambda b, c: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        m_in = [x1, g, vec(ln2_scale), vec(ln2_bias), w_fc1, vec(b_fc1),
+                w_fc2]
+        m_in_specs = [
+            blk_mc, blk_mc,
+            pl.BlockSpec((1, dim), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, mc), lambda b, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mc), lambda b, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mc, dim), lambda b, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        m_out_shapes = (
+            jax.ShapeDtypeStruct((B, N, dim), jnp.float32),   # dh2
+            jax.ShapeDtypeStruct((dim, mlp), jnp.float32),    # dwfc1
+            jax.ShapeDtypeStruct((1, mlp), jnp.float32),      # dbfc1
+            jax.ShapeDtypeStruct((mlp, dim), jnp.float32),    # dwfc2
+            jax.ShapeDtypeStruct((1, dim), jnp.float32),      # dbfc2
+        )
+        m_out_specs = (
+            pl.BlockSpec((gm, N, dim), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, mc), lambda b, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mc), lambda b, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mc, dim), lambda b, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        (dh2, dwfc1, dbfc1, dwfc2, dbfc2) = pl.pallas_call(
+            functools.partial(_mlp_bwd_kernel_chunked, group=gm,
+                              ln_eps=ln_eps, n_chunks=n_chunks),
+            out_shape=m_out_shapes,
+            grid=(B // gm, n_chunks),  # chunk axis fastest: dh2 accumulates
+            in_specs=m_in_specs,
+            out_specs=m_out_specs,
+            interpret=interp,
+            compiler_params=params,
+        )(*m_in)
+        x1f = x1.reshape(B * N, dim).astype(jnp.float32)
+        mu = jnp.mean(x1f, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x1f - mu), axis=-1, keepdims=True)
+        rstd2 = jax.lax.rsqrt(var + ln_eps)
+        n2 = (x1f - mu) * rstd2
+        gf = g.reshape(B * N, dim).astype(jnp.float32)
+        dx1_ln, dln2_s, dln2_b = _ln_bwd(
+            dh2.reshape(B * N, dim), n2, rstd2,
+            ln2_scale.reshape(-1).astype(jnp.float32),
+        )
+        dx1 = (gf + dx1_ln).astype(x.dtype).reshape(B, N, dim)
+        dln2_s = dln2_s.reshape(1, dim)
+        dln2_b = dln2_b.reshape(1, dim)
 
     blk_a = pl.BlockSpec((ga, N, dim), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)

@@ -344,6 +344,49 @@ def test_split_backward_matches_monolithic_kernel():
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_chunked_mlp_split_matches_unchunked(monkeypatch):
+    """The mlp-chunked MLP-grad kernel (dims whose full accumulators don't
+    fit: dh2 accumulated over a chunk grid axis in fp32, LN2 backward in
+    XLA) computes the same 12 gradients as the unchunked split path —
+    forced here at a small shape via _mlp_chunks."""
+    import surface_vision_transformers_tpu.ops.pallas.fused_block as fb
+
+    B, N, dim, heads, dh, mlp = 4, 16, 32, 2, 16, 64
+    hd = heads * dh
+    vl = 13
+    rng = np.random.default_rng(12)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+
+    x = mk(B, N, dim)
+    g = mk(B, N, dim)
+    w = dict(l1s=mk(dim) + 1, l1b=mk(dim), wqkv=mk(dim, 3 * hd),
+             wout=mk(hd, dim), l2s=mk(dim) + 1, l2b=mk(dim),
+             wfc1=mk(dim, mlp), bfc1=mk(mlp), wfc2=mk(mlp, dim),
+             bout=mk(dim), bfc2=mk(dim))
+    _, x1 = fb.fused_block(
+        x, w["l1s"], w["l1b"], w["wqkv"], w["wout"], w["bout"],
+        w["l2s"], w["l2b"], w["wfc1"], w["bfc1"], w["wfc2"], w["bfc2"],
+        heads=heads, dim_head=dh, valid_len=vl, save_x1=True,
+    )
+
+    def run():
+        return fb._block_bwd_split(
+            x, x1, g, w["l1s"], w["l1b"], w["wqkv"], w["wout"],
+            w["l2s"], w["l2b"], w["wfc1"], w["bfc1"], w["wfc2"],
+            heads=heads, dim_head=dh, valid_len=vl, ln_eps=1e-5,
+        )
+
+    assert fb._mlp_chunks(N, dim, mlp) == 0
+    plain = run()
+    monkeypatch.setattr(fb, "_mlp_chunks", lambda *a: 4)
+    chunked = run()
+    for a, b in zip(plain, chunked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_cls_split_backward_matches_monolithic_kernel():
     """The cls split backward (_block_cls_bwd_split: _mlp_bwd_kernel on the
     8-row tiles + _attn_cls_bwd_kernel) equals the monolithic

@@ -313,22 +313,27 @@ def test_bwd_kernel_feasible_boundaries():
 def test_split_backward_policy():
     """Backward-path routing as measured on chip (docs/design.md): the
     monolithic kernel only at tiny dims; the SPLIT two-kernel backward for
-    384-768 (faster at 384/512 even though the monolithic fits: +14%/+6%
-    epoch-level, and the only kernel option at 768); the XLA fallback at
-    1024 (split MLP kernel ~55M > the 40M per-kernel bound). _fbt_fwd must
-    save x1 exactly when the split will run."""
+    dim > 256 (faster at 384/512 even though the monolithic fits: +14%/+6%
+    epoch-level, and the only kernel option at 768+). At dim 1024 the MLP
+    half runs the mlp-CHUNKED grid (full accumulators ~34M + working set
+    exceed the 40M per-kernel bound; C=2 chunks fit). _fbt_fwd must save
+    x1 exactly when the split will run."""
     import jax.numpy as jnp
     import numpy as np
 
     from surface_vision_transformers_tpu.ops.pallas.fused_block import (
-        _fbt_fwd, _prefer_split, _split_bwd_feasible, _split_cls_bwd_feasible,
+        _fbt_fwd, _mlp_chunks, _prefer_split, _split_bwd_feasible,
+        _split_cls_bwd_feasible,
     )
 
     assert not _prefer_split(192)
     assert _prefer_split(384) and _prefer_split(512) and _prefer_split(768)
     assert _split_bwd_feasible(328, 384, 1536, 384, 6)
     assert _split_bwd_feasible(328, 768, 3072, 768, 12)
-    assert not _split_bwd_feasible(328, 1024, 4096, 1024, 16)
+    assert _split_bwd_feasible(328, 1024, 4096, 1024, 16)  # via chunking
+    assert _mlp_chunks(328, 384, 1536) == 0   # plain kernel fits
+    assert _mlp_chunks(328, 768, 3072) == 0
+    assert _mlp_chunks(328, 1024, 4096) == 2  # chunked grid
     assert _split_cls_bwd_feasible(328, 768, 3072, 768, 12)
 
     rng = np.random.default_rng(0)

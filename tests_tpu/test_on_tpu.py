@@ -398,15 +398,14 @@ def test_train_step_flagship_batch(flagship):
 def test_large_dim_blocks_compile_first_try(dim, mlp, heads):
     """VMEM-robustness beyond the measured shapes (VERDICT r2 #8): forward
     AND backward of the differentiable fused block must compile and run
-    first try at dims never benchmarked. dim 512 exercises the single-kernel
-    backward near its VMEM ceiling; dim 768 (SiT-base!) takes the SPLIT
-    two-kernel backward (_block_bwd_split: MLP-grad + attention-grad
-    kernels, each holding one branch's accumulators); dim 1024 takes the
-    structural XLA-backward fallback (_bwd_kernel_feasible /
-    _split_bwd_feasible both False — its MLP kernel alone wants ~55M). The
-    monolithic kernel previously blew Mosaic's VMEM at both (dim 1024: 183M
-    of 128M, mostly register-spill slots from the weight-grad
-    accumulators)."""
+    first try at dims never benchmarked. dim 512 and 768 (SiT-base!) take
+    the SPLIT two-kernel backward (_block_bwd_split: MLP-grad +
+    attention-grad kernels, each holding one branch's accumulators);
+    dim 1024 additionally runs the MLP half on the mlp-CHUNKED grid
+    (C=2 — its full accumulators ~34M + working set exceed the 40M
+    per-kernel bound). The monolithic kernel previously blew Mosaic's VMEM
+    at dim >= 768 (dim 1024: 183M of 128M, mostly register-spill slots
+    from the weight-grad accumulators)."""
     from surface_vision_transformers_tpu.ops.pallas.fused_block import (
         fused_block, fused_block_train,
     )
