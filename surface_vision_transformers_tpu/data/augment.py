@@ -55,6 +55,13 @@ class SurfaceAugment:
     num_warps: int = 8
     max_warp_deg: float = 15.0
     warp_prob: float = 0.5
+    # True: all warped samples in a batch share ONE table per step (chosen
+    # randomly each step; tables still vary across steps). Computes 1
+    # instead of all K warp resamplings per batch — the K-table where-select
+    # form is the TPU-fast per-SAMPLE variant, but still pays K full passes
+    # (see _apply_warps). Trades within-batch warp diversity for ~(K-1)/K
+    # of the warp cost; rotation diversity is unaffected.
+    warp_per_batch: bool = False
     seed: int = 0
     # atlas geometry override: (verts, faces) of the sphere in the SAME
     # vertex numbering as the patch table / data (e.g. the dHCP ico-6
@@ -221,20 +228,29 @@ class SurfaceAugment:
         dynamic-index gathers (the previous form) ran ~65x slower."""
         B = x.shape[0]
         K = warp_idx.shape[0]
-        t = jax.random.randint(k_warp_sel, (B,), 0, K)
         on = jax.random.uniform(k_warp_on, (B,)) < self.warp_prob
-        warped_all = jnp.stack([
-            sum(
+
+        def one_warp(k):
+            return sum(
                 jnp.take(x, jnp.asarray(warp_idx[k, :, j]), axis=2)
                 * jnp.asarray(warp_w[k, :, j], x.dtype)
                 for j in range(3)
             )
-            for k in range(K)
-        ])  # (K, B, C, Gf)
-        warped = jnp.take_along_axis(
-            warped_all, t[None, :, None, None], axis=0,
-            mode="promise_in_bounds",
-        )[0]
+
+        if self.warp_per_batch:
+            # one table per step: a K-way lax.switch computes a single
+            # warp resampling instead of all K
+            t0 = jax.random.randint(k_warp_sel, (), 0, K)
+            warped = jax.lax.switch(
+                t0, [lambda k=k: one_warp(k) for k in range(K)]
+            )
+        else:
+            t = jax.random.randint(k_warp_sel, (B,), 0, K)
+            warped_all = jnp.stack([one_warp(k) for k in range(K)])
+            warped = jnp.take_along_axis(
+                warped_all, t[None, :, None, None], axis=0,
+                mode="promise_in_bounds",
+            )[0]
         return jnp.where(on[:, None, None], warped, x)
 
     def _apply(self, key, x, perms, warp_idx, warp_w):

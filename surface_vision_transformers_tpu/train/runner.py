@@ -295,6 +295,7 @@ def _run_training_inner(
             num_warps=exp.augment.num_warps,
             max_warp_deg=exp.augment.max_warp_deg,
             warp_prob=exp.augment.warp_prob,
+            warp_per_batch=exp.augment.warp_per_batch,
             seed=exp.augment.seed,
             mesh_verts=mesh_verts,
             mesh_faces=mesh_faces,

@@ -135,6 +135,9 @@ class AugmentConfig:
     num_warps: int = 8
     max_warp_deg: float = 15.0
     warp_prob: float = 0.5
+    # one warp table per STEP instead of per sample: ~(K-1)/K of the warp
+    # cost for less within-batch warp diversity (rotations unaffected)
+    warp_per_batch: bool = False
     seed: int = 0
     # sphere surface GIFTI (POINTSET+TRIANGLE) giving the vertex coordinates
     # of the DATA's ordering; required when the patch table is in an atlas
@@ -348,6 +351,7 @@ def from_dict(raw: dict) -> Experiment:
         num_warps=int(aug_raw.get("num_warps", 8)),
         max_warp_deg=float(aug_raw.get("max_warp_deg", 15.0)),
         warp_prob=float(aug_raw.get("warp_prob", 0.5)),
+        warp_per_batch=bool(aug_raw.get("warp_per_batch", False)),
         seed=int(aug_raw.get("seed", 0)),
         sphere_path=str(aug_raw.get("sphere_path", "")),
     )

@@ -76,6 +76,51 @@ def test_augment_raw_and_patched_agree():
     np.testing.assert_allclose(patched_then, flat, atol=1e-5)
 
 
+def test_warp_per_batch_uses_one_table():
+    """warp_per_batch=True: every warped sample in a batch comes from the
+    SAME warp table (one of the K per-sample results), unwarped samples
+    are untouched, and the config key threads through."""
+    from surface_vision_transformers_tpu.utils.config import from_dict
+
+    exp = from_dict({
+        "resolution": {"ico": 6, "sub_ico": 2},
+        "transformer": {"dim": 32, "depth": 1, "heads": 2, "mlp_dim": 64,
+                        "dim_head": 16},
+        "augmentation": {"enabled": True, "warp_per_batch": True},
+    })
+    assert exp.augment.warp_per_batch is True
+
+    kw = dict(ico=ICO, exact_rotations=False, num_warps=3, warp_prob=0.7,
+              seed=1)
+    aug_pb = SurfaceAugment(warp_per_batch=True, **kw)
+    aug_ps = SurfaceAugment(warp_per_batch=False, **kw)
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(jax.random.PRNGKey(2), (6, 2, 642))
+    out_pb = np.asarray(aug_pb(key, x))
+    xr = np.asarray(x)  # no rotations -> base is the input itself
+
+    # each per-sample row either equals the input (warp off) or equals ONE
+    # table's warp of it; per-batch output must use a single table for all
+    # warped rows
+    per_table = [
+        np.asarray(sum(
+            jnp.take(x, jnp.asarray(aug_ps._warp_idx[k, :, j]), axis=2)
+            * jnp.asarray(aug_ps._warp_w[k, :, j], x.dtype)
+            for j in range(3)
+        ))
+        for k in range(3)
+    ]
+    used = set()
+    for i in range(6):
+        if np.allclose(out_pb[i], xr[i], atol=1e-6):
+            continue
+        matches = [k for k in range(3)
+                   if np.allclose(out_pb[i], per_table[k][i], atol=1e-5)]
+        assert matches, i
+        used.add(matches[0])
+    assert len(used) == 1, used  # one shared table per batch
+
+
 def test_augment_preserves_statistics():
     aug = SurfaceAugment(ico=ICO, num_warps=0, warp_prob=0.0, seed=0)
     x = jax.random.normal(jax.random.PRNGKey(0), (8, 2, 642))
