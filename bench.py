@@ -281,9 +281,14 @@ def main():
         "SGD": {"momentum": 0.9},
     })
     details["train_augmented"] = {}
-    for aname, n_warps in (("rotations", 0), ("rotations+warps", 4)):
+    for aname, n_warps, per_batch in (
+        ("rotations", 0, False),
+        ("rotations+warps", 4, False),
+        ("rotations+warps_per_batch", 4, True),
+    ):
         aug = SurfaceAugment(ico=6, patch_table=tab_c.indices,
-                             exact_rotations=True, num_warps=n_warps, seed=0)
+                             exact_rotations=True, num_warps=n_warps, seed=0,
+                             warp_per_batch=per_batch)
         model_a = SiT(dim=192, depth=12, heads=3, mlp_dim=768,
                       num_patches=320, num_vertices=153)
         trainer_a = Trainer(exp_a, model=model_a, augment=aug)
