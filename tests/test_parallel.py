@@ -407,6 +407,42 @@ def test_fused_megakernel_pure_dp_matches_single_device(data, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_split_backward_composes_with_pure_dp_shard_map(data, monkeypatch):
+    """The SPLIT two-kernel backward (forced via the feasibility gate, as
+    at dim > 256 on chip) composes with the pure-DP shard_map wrapper:
+    trajectory matches the single-device split run AND the monolithic
+    single-device run."""
+    import surface_vision_transformers_tpu.ops.pallas.fused_block as fb
+    from surface_vision_transformers_tpu.train import trainer as trainer_mod
+
+    monkeypatch.setattr(trainer_mod, "FORCE_FUSED", True)
+    d_np, l_np = data
+    exp = tiny_exp()
+
+    t_mono = Trainer(exp)
+    s = t_mono.init_state(d_np[:1])
+    s, m_mono = t_mono.train_epoch(s, jnp.asarray(d_np), jnp.asarray(l_np))
+
+    monkeypatch.setattr(fb, "_bwd_kernel_feasible", lambda *a, **k: False)
+    t0 = Trainer(exp)
+    s0 = t0.init_state(d_np[:1])
+    s0, m0 = t0.train_epoch(s0, jnp.asarray(d_np), jnp.asarray(l_np))
+    assert abs(m_mono.loss - m0.loss) < 1e-4, (m_mono.loss, m0.loss)
+
+    mesh = make_mesh(8, 1, 1)
+    t1 = Trainer(exp, mesh=mesh)
+    s1 = t1.init_state(d_np[:1])
+    with mesh:
+        s1 = s1.replace(params=shard_params(s1.params, mesh))
+        d = shard_batch(jnp.asarray(d_np), mesh)
+        l = shard_batch(jnp.asarray(l_np), mesh)
+        s1, m1 = t1.train_epoch(s1, d, l)
+    assert abs(m0.loss - m1.loss) < 1e-4, (m0.loss, m1.loss)
+    for a, b in zip(jax.tree.leaves(s0.params),
+                    jax.tree.leaves(jax.device_get(s1.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_fused_under_fsdp_mesh_falls_back(data, monkeypatch):
     """FSDP/TP meshes shard params, so the fused shard_map (P() replicated
     param specs) does not apply — the trainer must take the modular path and
