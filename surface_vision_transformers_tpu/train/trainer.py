@@ -61,6 +61,14 @@ class EpochMetrics:
 FORCE_FUSED = False
 
 
+def _local_scalar(x) -> float:
+    """The local copy of a jit-produced scalar under multi-process
+    execution: the value is already globally reduced inside jit and
+    replicated on every device, but `float(x)` refuses arrays spanning
+    non-addressable devices — read this process's shard instead."""
+    return float(np.asarray(x.addressable_data(0)))
+
+
 def _batch_weights(n: int, bs: int) -> jnp.ndarray:
     """(steps, bs) float32 sample weights for clamped contiguous batching:
     batch i reads rows [min(i*bs, n-bs), ...+bs) of a (possibly permuted)
@@ -458,8 +466,16 @@ class Trainer:
             losses.append(loss)
             mae_sums.append(mae_sum)
         n = loader.num_samples
-        loss = float(jnp.stack(losses).mean())
-        mae = float(jnp.stack(mae_sums).sum()) / n
+        try:
+            loss = float(jnp.stack(losses).mean())
+            mae = float(jnp.stack(mae_sums).sum()) / n
+        except RuntimeError:
+            # multi-process execution: the jitted scalars are global
+            # replicated arrays that can't be fetched whole across
+            # processes — every process holds an addressable copy of the
+            # (already globally-reduced) value
+            loss = float(np.mean([_local_scalar(v) for v in losses]))
+            mae = float(np.sum([_local_scalar(v) for v in mae_sums])) / n
         return state, EpochMetrics(loss=loss, mae=mae)
 
     def evaluate_streaming(self, state: TrainState, loader):
@@ -495,9 +511,22 @@ class Trainer:
             ls, es, preds = self._eval_step_fn(
                 state.params, batch, tgt, w, jnp.int32(i)
             )
-            loss_sum += float(ls)
-            err_sum += float(es)
-            preds_all.append(np.asarray(jax.device_get(preds)))
+            try:
+                ls_f, es_f = float(ls), float(es)
+                p_np = np.asarray(jax.device_get(preds))
+            except RuntimeError:
+                # multi-process: scalars are replicated (read the local
+                # copy); per-sample preds span processes — allgather them
+                # so every process exports the full row-ordered CSV
+                from jax.experimental import multihost_utils
+
+                ls_f, es_f = _local_scalar(ls), _local_scalar(es)
+                p_np = np.asarray(
+                    multihost_utils.process_allgather(preds, tiled=True)
+                )
+            loss_sum += ls_f
+            err_sum += es_f
+            preds_all.append(p_np)
         n = loader.num_samples
         if self.task == "mpp":
             return EpochMetrics(loss=loss_sum / n, mae=loss_sum / n), None

@@ -58,10 +58,23 @@ def main() -> None:
                   "validation": (data[:16], labels[:16])},
         run_root=tempfile.mkdtemp(), progress=False,
     )
+
+    # same recipe through the STREAMING loader (data.streaming: on): pins
+    # the loader's multihost path — each process feeds only its
+    # process_local_slice of every batch (COMPONENTS.md §5 claim)
+    raw_s = dict(raw, data={"streaming": "on"})
+    res_s = runner.run_training(
+        from_dict(raw_s),
+        datasets={"train": (data, labels),
+                  "validation": (data[:16], labels[:16])},
+        run_root=tempfile.mkdtemp(), progress=False,
+    )
     print("RESULT " + json.dumps({
         "pid": pid,
         "process_count": jax.process_count(),
         "best_mae": res["best_mae"],
+        "best_mae_streaming": res_s["best_mae"],
+        "streaming": res_s["streaming"],
         "mesh": res["mesh"],
     }), flush=True)
 

@@ -86,3 +86,15 @@ def test_two_process_training_matches_single_process():
     )
     assert abs(base["best_mae"] - results[0]["best_mae"]) < 1e-4, (
         base["best_mae"], results)
+
+    # the STREAMING loader's multihost per-process feed (each process
+    # transfers only its process_local_slice of every batch) trained the
+    # same recipe in both workers: bit-agreement ACROSS processes (the
+    # load-bearing claim), same metric scale as the device-resident run
+    # (streaming shuffles on host with its own RNG, so trajectories differ
+    # — same bound as test_streaming_epoch_matches_on_device)
+    assert all(r["streaming"] for r in results), results
+    assert abs(results[0]["best_mae_streaming"]
+               - results[1]["best_mae_streaming"]) < 1e-9, results
+    assert abs(results[0]["best_mae_streaming"]
+               - results[0]["best_mae"]) < 0.25, results
