@@ -121,10 +121,27 @@ class Trainer:
             # attention would dispatch a raw pallas kernel on sharded
             # activations (flax modules are frozen dataclasses -> clone)
             model = model.clone(**model_overrides)
-        self.model = model or SiT.from_config(
-            exp, patch_table=patch_table, **model_overrides
-        )
+        if model is None:
+            if exp.model.model == "MS-SiT":
+                from surface_vision_transformers_tpu.models import MSSiT
+
+                model = MSSiT.from_config(
+                    exp, patch_table=patch_table, **model_overrides
+                )
+            else:
+                model = SiT.from_config(
+                    exp, patch_table=patch_table, **model_overrides
+                )
+        self.model = model
         self.task = "mpp" if exp.is_pretraining else "regression"
+        if self.task == "mpp" and not isinstance(self.model, SiT):
+            raise ValueError(
+                "MPP pretraining is defined for the SiT family (the MPP head "
+                "reconstructs FINEST-grid patches through the shared SiT "
+                "embedding, reference models/mpp.py:77-132); MS-SiT's merged "
+                "multiscale tokens have no such inverse — use supervised "
+                "training for MS-SiT"
+            )
         if self.task == "mpp":
             m = exp.mpp
             self.mpp = MPP(
@@ -135,6 +152,31 @@ class Trainer:
             )
         else:
             self.mpp = None
+        from surface_vision_transformers_tpu.parallel.pipeline import pipe_size
+
+        self.pipe = pipe_size(mesh)
+        if self.pipe > 1:
+            if self.task == "mpp":
+                raise ValueError(
+                    "pipeline parallelism (tpu.mesh_pipe > 1) supports "
+                    "supervised training only; MPP's corruption/recon head "
+                    "is not stage-sharded"
+                )
+            if not isinstance(self.model, SiT):
+                raise ValueError(
+                    "pipeline parallelism is implemented for the SiT family "
+                    "(uniform block stack); MS-SiT's per-stage shapes differ"
+                )
+            if self.model.dropout or self.model.emb_dropout:
+                raise ValueError(
+                    "pipeline parallelism requires dropout 0 (the staged "
+                    "schedule is deterministic)"
+                )
+            if self.model.depth % self.pipe:
+                raise ValueError(
+                    f"depth {self.model.depth} not divisible by "
+                    f"mesh_pipe={self.pipe}"
+                )
         self.loss_fn = get_loss_fn(exp.training.l1loss)
         self.optimizer = build_optimizer(exp.optim)
         self._epoch_fns: dict[tuple, Callable] = {}
@@ -268,7 +310,8 @@ class Trainer:
 
         forced = FORCE_FUSED  # test-only module flag (see its definition)
         return (
-            getattr(self.exp.tpu, "fused_train", True)
+            type(self.model) is SiT  # megakernels encode the SiT block layout
+            and getattr(self.exp.tpu, "fused_train", True)
             and (_jax.default_backend() == "tpu" or forced)
             and (self.model.dtype == jnp.bfloat16 or forced)
             and self.model.precision is None
@@ -321,6 +364,20 @@ class Trainer:
             # MAE is not meaningful for MPP; report loss twice
             return loss, loss
         rngs = {"dropout": rng} if not deterministic else {}
+        if self.pipe > 1:
+            # GPipe stage sharding: the whole forward+loss runs as one
+            # shard_map'd pipeline schedule (parallel/pipeline.py)
+            from surface_vision_transformers_tpu.parallel.pipeline import (
+                pipeline_loss,
+            )
+
+            return pipeline_loss(
+                self.model, self.mesh, params, batch, targets, weights,
+                l1=self.exp.training.l1loss,
+                n_microbatches=getattr(
+                    self.exp.tpu, "pipe_microbatches", 0
+                ) or None,
+            )
         if (
             deterministic
             and self._use_fused_train()
@@ -544,7 +601,8 @@ class Trainer:
 
         forced = FORCE_FUSED
         return (
-            self.task == "regression"
+            type(self.model) is SiT  # megakernels encode the SiT block layout
+            and self.task == "regression"
             and (_jax.default_backend() == "tpu" or forced)
             and (self.model.dtype == jnp.bfloat16 or forced)
             and self.model.precision is None

@@ -55,7 +55,7 @@ class ModelConfig:
     def __post_init__(self):
         if self.pool not in ("cls", "mean"):
             raise ValueError(f"pool must be 'cls' or 'mean', got {self.pool!r}")
-        if self.model != "SiT":
+        if self.model not in ("SiT", "MS-SiT"):
             raise ValueError(f"unknown model {self.model!r}")
 
     @property
@@ -65,6 +65,27 @@ class ModelConfig:
     @property
     def size_name(self) -> str:
         return {192: "tiny", 384: "small", 768: "base"}.get(self.dim, f"d{self.dim}")
+
+
+@dataclasses.dataclass(frozen=True)
+class MSSiTConfig:
+    """MS-SiT hierarchy (``mssit:`` YAML block; active when
+    ``transformer.model: MS-SiT``). ``resolution.sub_ico`` is the FINEST
+    patch level for this family (e.g. ico 6 / sub_ico 5 -> 20,480 tokens)."""
+
+    embed_dim: int = 96
+    depths: tuple = (2, 2, 6, 2)
+    heads: tuple = (3, 6, 12, 24)
+    window: int = 64  # tokens per attention window (a power of 4)
+    global_max: int = 512  # stages at or below this many tokens go global
+    cross_mix: str = "axial"  # 'axial' | 'parent' | 'none'
+    mlp_ratio: float = 4.0
+
+    def __post_init__(self):
+        if len(self.depths) != len(self.heads):
+            raise ValueError("mssit.depths and mssit.heads lengths differ")
+        if self.cross_mix not in ("axial", "parent", "none"):
+            raise ValueError(f"unknown mssit.cross_mix {self.cross_mix!r}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,6 +178,8 @@ class TPUConfig:
     mesh_data: int = -1
     mesh_fsdp: int = 1
     mesh_model: int = 1
+    mesh_pipe: int = 1  # GPipe stage sharding (parallel/pipeline.py)
+    pipe_microbatches: int = 0  # 0 -> one microbatch per stage
     epoch_on_device: bool = True  # lax.scan over the epoch's batches
     torch_init: bool = True  # mirror torch Linear/LayerNorm init for recipe parity
     debug_nans: bool = False  # jax_debug_nans sanitizer (SURVEY §5)
@@ -213,6 +236,7 @@ class Experiment:
     tpu: TPUConfig
     mpp: MPPConfig | None
     augment: AugmentConfig = AugmentConfig()
+    mssit: MSSiTConfig = MSSiTConfig()
     ico: int = 6
     sub_ico: int = 2
     logging_folder: str = "logs/SiT"
@@ -321,6 +345,8 @@ def from_dict(raw: dict) -> Experiment:
         mesh_data=int(tp.get("mesh_data", -1)),
         mesh_fsdp=int(tp.get("mesh_fsdp", 1)),
         mesh_model=int(tp.get("mesh_model", 1)),
+        mesh_pipe=int(tp.get("mesh_pipe", 1)),
+        pipe_microbatches=int(tp.get("pipe_microbatches", 0)),
         epoch_on_device=bool(tp.get("epoch_on_device", True)),
         torch_init=bool(tp.get("torch_init", True)),
         debug_nans=bool(tp.get("debug_nans", False)),
@@ -344,6 +370,17 @@ def from_dict(raw: dict) -> Experiment:
             optimize_decoder=bool(m.get("optimize_decoder", True)),
         )
 
+    ms_raw = raw.get("mssit", {})
+    mssit = MSSiTConfig(
+        embed_dim=int(ms_raw.get("embed_dim", 96)),
+        depths=tuple(int(d) for d in ms_raw.get("depths", (2, 2, 6, 2))),
+        heads=tuple(int(h) for h in ms_raw.get("heads", (3, 6, 12, 24))),
+        window=int(ms_raw.get("window", 64)),
+        global_max=int(ms_raw.get("global_max", 512)),
+        cross_mix=str(ms_raw.get("cross_mix", "axial")),
+        mlp_ratio=float(ms_raw.get("mlp_ratio", 4.0)),
+    )
+
     aug_raw = raw.get("augmentation", {})
     augment = AugmentConfig(
         enabled=bool(aug_raw.get("enabled", False)),
@@ -364,6 +401,7 @@ def from_dict(raw: dict) -> Experiment:
         tpu=tpu,
         mpp=mpp,
         augment=augment,
+        mssit=mssit,
         ico=ico,
         sub_ico=sub_ico,
         logging_folder=_get(raw, "logging.folder_to_save_model", "logs/SiT"),
