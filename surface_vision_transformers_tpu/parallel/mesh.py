@@ -33,29 +33,37 @@ def batch_axes(mesh) -> tuple:
 
 
 def make_mesh(
-    data: int = -1, fsdp: int = 1, model: int = 1, devices=None
+    data: int = -1, fsdp: int = 1, model: int = 1, pipe: int = 1, devices=None
 ) -> Mesh:
-    """Build the ('data', 'fsdp', 'model') mesh. ``data=-1`` consumes all
-    remaining devices."""
+    """Build the ('data', 'fsdp', 'model'[, 'pipe']) mesh. ``data=-1``
+    consumes all remaining devices. The 'pipe' axis (GPipe stage sharding,
+    parallel/pipeline.py) is appended only when pipe > 1, so non-PP runs keep
+    the three-axis shape every existing sharding rule was written for."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    rest = fsdp * model * pipe
     if data == -1:
-        if n % (fsdp * model):
-            raise ValueError(f"{n} devices not divisible by fsdp*model={fsdp * model}")
-        data = n // (fsdp * model)
-    if data * fsdp * model > n:
-        raise ValueError(f"mesh {data}x{fsdp}x{model} > {n} devices")
-    if data * fsdp * model < n:
+        if n % rest:
+            raise ValueError(
+                f"{n} devices not divisible by fsdp*model*pipe={rest}"
+            )
+        data = n // rest
+    if data * rest > n:
+        raise ValueError(f"mesh {data}x{fsdp}x{model}x{pipe} > {n} devices")
+    if data * rest < n:
         # legal (e.g. a pinned single-device baseline on a multi-chip host)
         # but never silent: idling hardware must be a visible choice
         import warnings
 
         warnings.warn(
-            f"mesh {data}x{fsdp}x{model} uses {data * fsdp * model} of {n} "
+            f"mesh {data}x{fsdp}x{model}x{pipe} uses {data * rest} of {n} "
             f"devices; set mesh_data=-1 to consume the rest",
             stacklevel=2,
         )
-    devices = devices[: data * fsdp * model]
+    devices = devices[: data * rest]
+    if pipe > 1:
+        arr = np.asarray(devices).reshape(data, fsdp, model, pipe)
+        return Mesh(arr, AXES + ("pipe",))
     arr = np.asarray(devices).reshape(data, fsdp, model)
     return Mesh(arr, AXES)
 
@@ -73,9 +81,15 @@ def mesh_from_config(tpu_cfg, devices=None) -> Optional[Mesh]:
     data = getattr(tpu_cfg, "mesh_data", -1)
     fsdp = getattr(tpu_cfg, "mesh_fsdp", 1)
     model = getattr(tpu_cfg, "mesh_model", 1)
-    if fsdp == 1 and model == 1 and (data == -1 or data == 1) and len(devices) == 1:
+    pipe = getattr(tpu_cfg, "mesh_pipe", 1)
+    if (
+        fsdp == 1 and model == 1 and pipe == 1
+        and (data == -1 or data == 1) and len(devices) == 1
+    ):
         return None
-    return make_mesh(data=data, fsdp=fsdp, model=model, devices=devices)
+    return make_mesh(
+        data=data, fsdp=fsdp, model=model, pipe=pipe, devices=devices
+    )
 
 
 def batch_pspec(ndim: int) -> P:
