@@ -16,6 +16,10 @@ from surface_vision_transformers_tpu.parallel.multihost import (
     initialize_multihost,
     local_batch_to_global,
 )
+from surface_vision_transformers_tpu.parallel.pipeline import (
+    pipe_size,
+    pipeline_loss,
+)
 
 __all__ = [
     "AXES",
@@ -32,4 +36,6 @@ __all__ = [
     "state_shardings",
     "initialize_multihost",
     "local_batch_to_global",
+    "pipe_size",
+    "pipeline_loss",
 ]

@@ -606,3 +606,45 @@ def test_dropout_kernel_compiled():
     m_drop = float(jnp.abs(o1a[:, :100]).mean())
     m_ref = float(jnp.abs(ref[:, :100]).mean())
     assert abs(m_drop - m_ref) / m_ref < 0.25
+
+
+def test_mssit_on_tpu():
+    """MS-SiT (multiscale windowed family, models/mssit.py) compiled on the
+    chip at full ico-6 scale (20,480 tokens): bf16 forward within golden
+    bounds of the fp32 einsum path, and train steps through the Trainer
+    reduce the loss on a learnable signal."""
+    from surface_vision_transformers_tpu.models import MSSiT
+
+    table = load_patch_table(6, 5)
+    key = jax.random.PRNGKey(3)
+    kw = dict(patch_table=table.indices, embed_dim=48,
+              depths=(2, 2, 2, 2), heads=(3, 6, 12, 24))
+    m32 = MSSiT(dtype=jnp.float32, attn_backend="xla", **kw)
+    m16 = MSSiT(**kw)
+    x = jax.random.normal(key, (B, 4, 40962)) * 0.5
+    params = m32.init(key, x[:1])
+    ref = jax.jit(lambda p, xx: m32.apply(p, xx))(params, x)
+    out = jax.jit(lambda p, xx: m16.apply(p, xx))(params, x)
+    d = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+    scale = float(jnp.abs(ref).max()) + 1e-3
+    assert np.isfinite(np.asarray(out)).all()
+    assert d < 0.1 * max(scale, 1.0), (d, scale)
+
+    exp = from_dict({
+        "resolution": {"ico": 6, "sub_ico": 5},
+        "transformer": {"model": "MS-SiT", "num_channels": 4},
+        "mssit": {"embed_dim": 48, "depths": [2, 2, 2, 2],
+                  "heads": [3, 6, 12, 24]},
+        "training": {"LR": 3e-4, "bs": B, "epochs": 1},
+        "optimisation": {"optimiser": "AdamW"},
+        "AdamW": {"weight_decay": 0.01},
+    })
+    trainer = Trainer(exp, patch_table=table.indices)
+    yb = jnp.asarray(np.asarray(x[:, 0, :64].mean(axis=1)))
+    state = trainer.init_state(np.asarray(x[:1], np.float32))
+    losses = []
+    for _ in range(3):
+        state, met = trainer.train_epoch(state, x, yb)
+        losses.append(met.loss)
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
