@@ -71,5 +71,31 @@ if __name__ == "__main__":
                                        attn_backend="xla"))
     fwd_point("w=1024 none", MSSiT(patch_table=TABLE, window=1024,
                                    cross_mix="none"))
+    fused_points()
     fwd_point("w=256 parent B=64",
               MSSiT(patch_table=TABLE, window=256, cross_mix="parent"))
+
+
+def fused_points():
+    from surface_vision_transformers_tpu.models.fused_mssit import (
+        fused_mssit_forward,
+    )
+    from surface_vision_transformers_tpu.train.trainer import Trainer  # noqa: F401
+
+    for name, kw in (
+        ("FUSED w=64 axial", {}),
+        ("FUSED w=64 parent", {"cross_mix": "parent"}),
+        ("FUSED w=256 parent", {"window": 256, "cross_mix": "parent"}),
+    ):
+        model = MSSiT(patch_table=TABLE, **kw)
+        x = jax.random.normal(KEY, (B, 4, 40962), jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, 40962)))
+
+        def step(p, xx, i, m=model):
+            return fused_mssit_forward(
+                m, p, xx + i.astype(jnp.bfloat16) * jnp.bfloat16(2**-7)
+            ).mean().astype(jnp.float32)
+
+        dt = timed_scan(step, (params, x), iters=11)
+        print(f"{name:36s} fwd {dt*1e3:8.2f} ms/b{B}  {B/dt:9.0f} surf/s",
+              flush=True)

@@ -44,17 +44,45 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_group(bh: int, itemsize: int = 2) -> int:
+# Budget for the per-program (Nq, Nk) fp32 score temporaries inside the
+# default 16 MB scoped-VMEM stack (inputs/outputs + double buffering take the
+# rest). Shapes whose G=1 temporaries still exceed it get an explicit raised
+# vmem_limit_bytes instead (see _vmem_params) — chosen so every MEASURED
+# SiT shape (N <= 512) keeps its exact previous group and compile options.
+_SCORE_TEMP_BUDGET = 12 * 1024 * 1024
+
+
+def _pick_group(
+    bh: int, itemsize: int = 2, nq: int = 0, nk: int = 0, temps: int = 2
+) -> int:
     """Per-program sample group. 4-byte inputs halve the group: the fp32
     working set is 2x, and with grid > 1 Mosaic double-buffers the input
     blocks — fp32 G=4 at Np=384 overflowed the 16 MB scoped-VMEM stack at
     B=256 while the same shape passed at B=4 (grid 1, no double buffer);
-    caught by the flagship-shape TPU test."""
+    caught by the flagship-shape TPU test.
+
+    ``nq``/``nk``/``temps`` additionally clamp by the (nq, nk) fp32 score
+    temporaries (``temps`` live per sample): at N=1024 the N-blind G choice
+    made the Mosaic compile helper crash outright (MS-SiT w=1024 windows,
+    round 3) — large-N shapes now step down to G=1."""
     cap = 4 if itemsize <= 2 else 2
+    if nq and nk:
+        while cap > 1 and cap * temps * nq * nk * 4 > _SCORE_TEMP_BUDGET:
+            cap //= 2
     for g in (4, 2):
         if g <= cap and bh % g == 0:
             return g
     return 1
+
+
+def _vmem_params(G: int, nq: int, nk: int, temps: int = 2):
+    """compiler_params for a pallas_call whose score temporaries approach the
+    default 16 MB scoped stack even at the chosen G: raise the limit so
+    N=1024..1536 single-block shapes compile. None for every smaller shape,
+    keeping their previously-tuned compilations byte-identical."""
+    if G * temps * nq * nk * 4 <= _SCORE_TEMP_BUDGET:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _interpret() -> bool:
@@ -148,7 +176,8 @@ def _prep(q, k, v, g=None):
 def _fwd(q, k, v, valid_len):
     qf, kf, vf, _, (B, H, Nq, Nk, D, Npq, Npk) = _prep(q, k, v)
     scale = D ** -0.5
-    G = _pick_group(B * H, q.dtype.itemsize)
+    G = _pick_group(B * H, q.dtype.itemsize, Npq, Npk, temps=2)
+    cp = _vmem_params(G, Npq, Npk, temps=2)
     blk_q = pl.BlockSpec((G, Npq, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     blk_k = pl.BlockSpec((G, Npk, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
@@ -166,6 +195,7 @@ def _fwd(q, k, v, valid_len):
             pl.BlockSpec((G, Npq, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=_interpret(),
+        **({"compiler_params": cp} if cp else {}),
     )(qf, kf, vf)
     out = o.reshape(B, H, Npq, D)
     if Npq != Nq:
@@ -176,7 +206,8 @@ def _fwd(q, k, v, valid_len):
 def _bwd_impl(q, k, v, lse, g, valid_len):
     qf, kf, vf, gf, (B, H, Nq, Nk, D, Npq, Npk) = _prep(q, k, v, g)
     scale = D ** -0.5
-    G = _pick_group(B * H, q.dtype.itemsize)
+    G = _pick_group(B * H, q.dtype.itemsize, Npq, Npk, temps=3)
+    cp = _vmem_params(G, Npq, Npk, temps=3)
     blk_q = pl.BlockSpec((G, Npq, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     blk_k = pl.BlockSpec((G, Npk, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lse_blk = pl.BlockSpec((G, Npq, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -193,6 +224,7 @@ def _bwd_impl(q, k, v, lse, g, valid_len):
         in_specs=[blk_q, blk_k, blk_k, lse_blk, blk_q],
         out_specs=(blk_q, blk_k, blk_k),
         interpret=_interpret(),
+        **({"compiler_params": cp} if cp else {}),
     )(qf, kf, vf, lse, gf)
 
     def unp(t, N, Np):
@@ -337,7 +369,8 @@ def _fwd_packed(qkv, valid_len, heads):
     B, Np, F = qkv.shape
     dh = F // (3 * heads)
     scale = dh ** -0.5
-    G = _pick_group(B, qkv.dtype.itemsize)
+    G = _pick_group(B, qkv.dtype.itemsize, Np, Np, temps=2)
+    cp = _vmem_params(G, Np, Np, temps=2)
     blk_in = pl.BlockSpec((G, Np, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     blk_out = pl.BlockSpec(
         (G, Np, F // 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -358,6 +391,7 @@ def _fwd_packed(qkv, valid_len, heads):
         in_specs=[blk_in],
         out_specs=(blk_out, blk_lse),
         interpret=_interpret(),
+        **({"compiler_params": cp} if cp else {}),
     )(qkv)
     return o, lse
 
@@ -369,8 +403,11 @@ def _bwd_packed(qkv, lse, g, valid_len, heads):
     # backward holds ~3 (Np,Np) fp32 temporaries per unrolled head iteration;
     # G=4 overflows the 16 MB VMEM scoped stack at Np=384, H=3; G=2 fits
     # (bf16); fp32 inputs halve again (double-buffered blocks, see
-    # _pick_group)
+    # _pick_group); large Np steps down to G=1 (+ raised vmem limit)
     G = (2 if qkv.dtype.itemsize <= 2 else 1) if B % 2 == 0 else 1
+    while G > 1 and G * 3 * Np * Np * 4 > _SCORE_TEMP_BUDGET:
+        G //= 2
+    cp = _vmem_params(G, Np, Np, temps=3)
     blk_in = pl.BlockSpec((G, Np, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     blk_o = pl.BlockSpec(
         (G, Np, F // 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -388,6 +425,7 @@ def _bwd_packed(qkv, lse, g, valid_len, heads):
         in_specs=[blk_in, blk_lse, blk_o],
         out_specs=blk_in,
         interpret=_interpret(),
+        **({"compiler_params": cp} if cp else {}),
     )(qkv, lse, g)
     return dqkv
 

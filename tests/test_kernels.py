@@ -349,3 +349,24 @@ def test_split_backward_policy():
              mk(dim))
         _, res = _fbt_fwd(mk(2, 16, dim), *w, heads, dh, 13, 1e-5)
         assert (res[1] is not None) == expect_x1, (dim, res[1] is None)
+
+
+def test_pick_group_n_aware():
+    """Large-N shapes clamp the packed/split kernels' sample group by the
+    fp32 score-temporary estimate (N=1024 crashed the Mosaic compile helper
+    before); measured SiT shapes keep their exact previous groups."""
+    from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+        _pick_group, _vmem_params,
+    )
+
+    # measured shapes: unchanged groups, no special compile params
+    assert _pick_group(8, 2, 384, 384, temps=2) == 4
+    assert _pick_group(8, 2, 512, 512, temps=2) == 4
+    assert _vmem_params(4, 384, 384, temps=2) is None
+    # large N steps down
+    assert _pick_group(8, 2, 768, 768, temps=2) == 2
+    assert _pick_group(8, 2, 1024, 1024, temps=2) == 1
+    # G=1 shapes whose temporaries still crowd the default scoped stack get
+    # an explicit raised limit
+    assert _vmem_params(1, 1536, 1536, temps=2) is not None
+    assert _vmem_params(1, 512, 512, temps=2) is None

@@ -648,3 +648,48 @@ def test_mssit_on_tpu():
         losses.append(met.loss)
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_packed_kernel_large_n_compiles_and_matches():
+    """N=1024/1536 single-block packed attention (MS-SiT parent/global
+    windows; also the documented single-block range, which the N-blind group
+    choice silently broke — the Mosaic compile helper crashed at N=1024
+    before the N-aware clamp in _pick_group). fwd + grads vs einsum."""
+    from surface_vision_transformers_tpu.ops.pallas.flash_attention import (
+        flash_attention_qkv,
+    )
+
+    def ref_attn(qkv, heads):
+        Bq, N, F = qkv.shape
+        dh = F // (3 * heads)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def ht(t):
+            return t.reshape(Bq, N, heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = ht(q), ht(k), ht(v)
+        s = jnp.einsum(
+            "bhnd,bhmd->bhnm", q.astype(jnp.float32), k.astype(jnp.float32)
+        ) * dh ** -0.5
+        p = jax.nn.softmax(s, -1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+        return o.transpose(0, 2, 1, 3).reshape(Bq, N, heads * dh)
+
+    for N, heads, dh in ((1024, 3, 32), (1536, 3, 64)):
+        qkv = jax.random.normal(
+            jax.random.PRNGKey(0), (4, N, 3 * heads * dh), jnp.bfloat16
+        )
+        o = jax.jit(lambda q: flash_attention_qkv(q, heads, None))(qkv)
+        r = ref_attn(qkv, heads)
+        g = jax.grad(
+            lambda q: flash_attention_qkv(q, heads, None)
+            .astype(jnp.float32).sum()
+        )(qkv)
+        gr = jax.grad(
+            lambda q: ref_attn(q, heads).astype(jnp.float32).sum()
+        )(qkv)
+        do = float(jnp.abs(o.astype(jnp.float32) - r.astype(jnp.float32)).max())
+        dg = float(jnp.abs(g.astype(jnp.float32) - gr.astype(jnp.float32)).max())
+        scale = float(jnp.abs(gr.astype(jnp.float32)).max()) + 1e-6
+        assert do < 0.05, (N, do)
+        assert dg < 0.05 * max(scale, 1.0), (N, dg, scale)
