@@ -1,0 +1,179 @@
+"""Fused MS-SiT: whole windowed blocks through the SiT megakernels.
+
+The key fact making this possible: everything in a pre-norm transformer block
+except attention is token-local, and MS-SiT's attention is local to a window.
+Fold windows into the batch dimension (a reshape — models/mssit.fold_tokens)
+and a windowed block IS a standard block on (B*nW, W, dim) — so the whole
+fused-kernel stack built for SiT (``fused_block`` inference megakernel,
+``fused_block_train`` with the single-kernel/split backward) applies to the
+multiscale family unchanged. Merges, embedding, and the head stay XLA (they
+are cheap, bandwidth-bound, and autodiff-friendly).
+
+Folded window lengths that miss the kernels' N % 8 requirement (e.g. the
+axial fold at stage 3: nW=20 groups) pad with masked rows (valid_len) and
+slice after — attention never reads the padding keys, and the padded rows'
+token-local garbage is discarded.
+
+Numerics match the modular bf16 path to the same bounds as SiT's fused
+runner: tanh-GELU in-kernel (< 3e-4 from exact erf, below bf16 resolution),
+fp32 LN/softmax. Exact-parity fp32 mode stays on the modular path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from surface_vision_transformers_tpu.models.fused import (
+    _dp_shard_map,
+    _layer_norm,
+    _pure_dp,
+)
+from surface_vision_transformers_tpu.models.mssit import (
+    MSSiT,
+    fold_tokens,
+    stage_plan,
+    unfold_tokens,
+)
+from surface_vision_transformers_tpu.ops import fused_patch_embed, rearrange_patched
+from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+    fused_block,
+    fused_block_train,
+)
+
+
+def _embed(model: MSSiT, p: dict, x: jax.Array) -> jax.Array:
+    dt = model.dtype
+    if x.ndim == 3:
+        tokens = fused_patch_embed(
+            x, model.patch_table, p["patch_embedding_kernel"],
+            p["patch_embedding_bias"], means=model.norm_means,
+            stds=model.norm_stds, compute_dtype=dt,
+        )
+    else:
+        tokens = rearrange_patched(x).astype(dt)
+        tokens = tokens @ p["patch_embedding_kernel"].astype(dt) + p[
+            "patch_embedding_bias"
+        ].astype(dt)
+    return tokens + p["pos_embedding"].astype(tokens.dtype)
+
+
+def _run_block(block_fn, a, m, folded, heads, dim_head, dt):
+    """One (attn, mlp) param pair through a megakernel on the folded layout,
+    padding the per-window length to the kernels' N % 8 requirement."""
+    Nf = folded.shape[1]
+    pad = (-Nf) % 8
+    if pad:
+        folded = jnp.pad(folded, [(0, 0), (0, pad), (0, 0)])
+    out = block_fn(
+        folded,
+        a["norm"]["scale"], a["norm"]["bias"],
+        a["to_qkv"]["kernel"].astype(dt),
+        a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+        m["norm"]["scale"], m["norm"]["bias"],
+        m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
+        m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+        heads=heads, dim_head=dim_head,
+        valid_len=Nf if pad else None,
+    )
+    return out[:, :Nf] if pad else out
+
+
+def _train_block(a, m, folded, heads, dim_head, dt):
+    Nf = folded.shape[1]
+    pad = (-Nf) % 8
+    if pad:
+        folded = jnp.pad(folded, [(0, 0), (0, pad), (0, 0)])
+    out = fused_block_train(
+        folded,
+        a["norm"]["scale"], a["norm"]["bias"],
+        a["to_qkv"]["kernel"].astype(dt),
+        a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+        m["norm"]["scale"], m["norm"]["bias"],
+        m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
+        m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+        heads, dim_head, Nf if pad else None,
+    )
+    return out[:, :Nf] if pad else out
+
+
+def _stages(model: MSSiT, p: dict, x: jax.Array, *, train: bool) -> jax.Array:
+    dt = model.dtype
+    for st in stage_plan(model):
+        s, dim_s, heads_s = st["stage"], st["dim"], st["heads"]
+        dh = dim_s // heads_s
+        B, T = x.shape[0], x.shape[1]
+        for i, mix in enumerate(st["mixes"]):
+            a = p[f"stage_{s}_block_{i}_attn"]
+            m = p[f"stage_{s}_block_{i}_mlp"]
+            folded = fold_tokens(x, st["window"], mix)
+            if train:
+                out = _train_block(a, m, folded, heads_s, dh, dt)
+            else:
+                out = _run_block(fused_block, a, m, folded, heads_s, dh, dt)
+            x = (
+                unfold_tokens(out, B, T, st["window"], mix)
+                if folded is not x
+                else out
+            )
+        if s < model.num_stages - 1:
+            mg = p[f"stage_{s}_merge"]
+            y = x.reshape(B, T // 4, 4 * dim_s)
+            y = _layer_norm(
+                y, mg["norm"]["scale"].astype(jnp.float32),
+                mg["norm"]["bias"].astype(jnp.float32),
+            ).astype(dt)
+            x = y @ mg["reduce"]["kernel"].astype(dt)
+    return x
+
+
+def _head(model: MSSiT, p: dict, x: jax.Array) -> jax.Array:
+    h = _layer_norm(
+        x.astype(jnp.float32), p["head_norm"]["scale"].astype(jnp.float32),
+        p["head_norm"]["bias"].astype(jnp.float32),
+    )
+    h = jnp.mean(h, axis=1)
+    return h @ p["head"]["kernel"].astype(jnp.float32) + p["head"][
+        "bias"
+    ].astype(jnp.float32)
+
+
+def _forward(model: MSSiT, variables, x: jax.Array, *, train: bool):
+    p = variables["params"] if "params" in variables else variables
+    tokens = _embed(model, p, x)
+    enc = _stages(model, p, tokens, train=train)
+    return _head(model, p, enc)
+
+
+def fused_mssit_forward(model: MSSiT, variables, x, *, mesh=None):
+    """Inference through the megakernel blocks; == model.apply at bf16
+    bounds. Under a PURE-DP mesh the whole forward shard_maps over the batch
+    axes (params replicated) like models.fused.fused_forward."""
+    if mesh is not None and mesh.size > 1:
+        if not _pure_dp(mesh) or x.shape[0] % mesh.shape["data"]:
+            raise ValueError(
+                "fused MS-SiT under a mesh requires pure DP with the batch "
+                "divisible by the data axis; use the modular model"
+            )
+        return _dp_shard_map(
+            lambda v, xx: _forward(model, v, xx, train=False),
+            mesh, variables, x,
+        )
+    return _forward(model, variables, x, train=False)
+
+
+def fused_mssit_train_forward(model: MSSiT, variables, x, *, mesh=None):
+    """DIFFERENTIABLE fused forward: every windowed block runs
+    fused_block_train (single-kernel or split backward per its per-shape
+    policy); embed/merge/head stay XLA autodiff."""
+    if mesh is not None and mesh.size > 1:
+        if not _pure_dp(mesh) or x.shape[0] % mesh.shape["data"]:
+            raise ValueError(
+                "fused MS-SiT under a mesh requires pure DP with the batch "
+                "divisible by the data axis; use the modular model"
+            )
+        return _dp_shard_map(
+            lambda v, xx: _forward(model, v, xx, train=True),
+            mesh, variables, x,
+        )
+    return _forward(model, variables, x, train=True)

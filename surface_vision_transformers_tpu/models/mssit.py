@@ -72,6 +72,63 @@ def window_size_for_stage(
     return w
 
 
+def stage_plan(model: "MSSiT") -> list[dict]:
+    """Resolved per-stage schedule shared by the modular module and the
+    fused-megakernel runner (models/fused_mssit.py): dims, heads, effective
+    window, token count, and the per-block mix (even blocks 'window', odd
+    blocks the model's cross_mix when the stage is windowed)."""
+    plan = []
+    tokens_s = model.num_patches
+    dims = model.stage_dims()
+    for s, (depth_s, heads_s, dim_s) in enumerate(
+        zip(model.depths, model.heads, dims)
+    ):
+        level = model.patch_level - s
+        w = window_size_for_stage(
+            model.window, tokens_s, level, model.global_max
+        )
+        mixes = []
+        for i in range(depth_s):
+            mix = "window"
+            if w < tokens_s and i % 2 == 1 and model.cross_mix != "none":
+                mix = model.cross_mix
+            mixes.append(mix)
+        plan.append(dict(stage=s, dim=dim_s, heads=heads_s, depth=depth_s,
+                         tokens=tokens_s, window=w, mixes=mixes))
+        tokens_s //= 4
+    return plan
+
+
+def fold_tokens(t, window: int, mix: str):
+    """(B, T, F) -> (B', W', F) grouping per ``mix`` ('window' contiguous,
+    'axial' across windows at matching intra-window index, 'parent' the
+    4x-coarser contiguous window). Inverse: unfold_tokens with the same
+    arguments. Token-local ops commute with the fold, so a whole pre-norm
+    block may run in the folded layout."""
+    B, T, F = t.shape
+    W = min(window, T)
+    if W >= T:
+        return t
+    nW = T // W
+    if mix == "axial":
+        return (
+            t.reshape(B, nW, W, F).transpose(0, 2, 1, 3).reshape(B * W, nW, F)
+        )
+    Wp = min(4 * W, T) if mix == "parent" else W
+    return t.reshape(B * (T // Wp), Wp, F)
+
+
+def unfold_tokens(y, B: int, T: int, window: int, mix: str):
+    F = y.shape[-1]
+    W = min(window, T)
+    if W >= T:
+        return y
+    nW = T // W
+    if mix == "axial":
+        return y.reshape(B, W, nW, F).transpose(0, 2, 1, 3).reshape(B, T, F)
+    return y.reshape(B, T, F)
+
+
 class WindowAttention(nn.Module):
     """Pre-norm MHSA within non-overlapping token windows.
 
@@ -96,33 +153,15 @@ class WindowAttention(nn.Module):
     sharded: bool = False  # activations sharded (mesh run): einsum only
 
     def _fold(self, t):
-        """(B, T, F) -> (B', W', F) per ``mix``; returns (folded, unfold).
-        ``unfold`` inverts the grouping for any feature width (attention
-        output is narrower than the packed qkv input)."""
-        B, T, F = t.shape
-        W = min(self.window, T)
-        if W >= T:
+        """(B, T, F) -> (B', W', F) per ``mix``; returns (folded, unfold) —
+        the shared fold_tokens/unfold_tokens grouping (feature width may
+        differ between fold and unfold: attention output is narrower than
+        the packed qkv input)."""
+        B, T, _ = t.shape
+        folded = fold_tokens(t, self.window, self.mix)
+        if folded is t:
             return t, lambda y: y
-        nW = T // W
-        if self.mix == "axial":
-            # group token i of every window together: (B*W, nW, F)
-            def unfold(y):
-                f = y.shape[-1]
-                return (
-                    y.reshape(B, W, nW, f).transpose(0, 2, 1, 3).reshape(B, T, f)
-                )
-
-            return (
-                t.reshape(B, nW, W, F).transpose(0, 2, 1, 3).reshape(B * W, nW, F),
-                unfold,
-            )
-        Wp = min(4 * W, T) if self.mix == "parent" else W
-        nWp = T // Wp
-
-        def unfold(y):
-            return y.reshape(B, T, y.shape[-1])
-
-        return t.reshape(B * nWp, Wp, F), unfold
+        return folded, lambda y: unfold_tokens(y, B, T, self.window, self.mix)
 
     def _use_packed_kernel(self, seq_len: int) -> bool:
         if self.sharded or self.attn_backend not in ("auto", "pallas"):
@@ -378,23 +417,14 @@ class MSSiT(nn.Module):
             AttnMod = nn.remat(WindowAttention, static_argnums=())
             FFMod = nn.remat(FeedForward, static_argnums=())
 
-        tokens_s = self.num_patches
-        for s, (depth_s, heads_s, dim_s) in enumerate(
-            zip(self.depths, self.heads, self.stage_dims())
-        ):
-            level = self.patch_level - s
-            w = window_size_for_stage(
-                self.window, tokens_s, level, self.global_max
-            )
-            for i in range(depth_s):
-                mix = "window"
-                if w < tokens_s and i % 2 == 1 and self.cross_mix != "none":
-                    mix = self.cross_mix
+        for st in stage_plan(self):
+            s, dim_s, heads_s = st["stage"], st["dim"], st["heads"]
+            for i, mix in enumerate(st["mixes"]):
                 x = x + AttnMod(
                     dim=dim_s,
                     heads=heads_s,
                     dim_head=dim_s // heads_s,
-                    window=w,
+                    window=st["window"],
                     mix=mix,
                     dropout=self.dropout,
                     attn_backend=self.attn_backend,
@@ -411,7 +441,6 @@ class MSSiT(nn.Module):
                 )(x, deterministic=deterministic)
             if s < self.num_stages - 1:
                 x = MergeMod(dim=dim_s, name=f"stage_{s}_merge", **common)(x)
-                tokens_s //= 4
 
         x = nn.LayerNorm(
             epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,

@@ -85,6 +85,33 @@ def _vmem_params(G: int, nq: int, nk: int, temps: int = 2):
     return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
+# The PACKED kernels unroll G x heads head-iterations and Mosaic keeps every
+# iteration's (N, N) fp32 score temporaries live (measured on chip, round 3:
+# est = G*heads*temps*N^2*4B — shapes at est <= ~28 MB compile under the
+# default scoped stack, est >= ~50 MB crash the compile helper, and the same
+# shapes compile fine with vmem_limit_bytes raised). Policy: leave proven
+# small shapes' compile options untouched, raise the limit past _PACKED_SAFE,
+# halve G past _PACKED_LIVE_CAP, and route to the head-batched split kernels
+# when even G=1 cannot fit.
+_PACKED_SAFE = 28 * 1024 * 1024
+_PACKED_LIVE_CAP = 90 * 1024 * 1024
+
+
+def _packed_policy(G: int, Np: int, heads: int, temps: int):
+    """(G, compiler_params kwargs, fits) for a packed-kernel launch."""
+    def est(g):
+        return g * heads * temps * Np * Np * 4
+
+    while G > 1 and est(G) > _PACKED_LIVE_CAP:
+        G //= 2
+    if est(G) > _PACKED_LIVE_CAP:
+        return G, {}, False
+    if est(G) > _PACKED_SAFE:
+        cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+        return G, {"compiler_params": cp}, True
+    return G, {}, True
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -370,7 +397,8 @@ def _fwd_packed(qkv, valid_len, heads):
     dh = F // (3 * heads)
     scale = dh ** -0.5
     G = _pick_group(B, qkv.dtype.itemsize, Np, Np, temps=2)
-    cp = _vmem_params(G, Np, Np, temps=2)
+    G, cpkw, ok = _packed_policy(G, Np, heads, temps=2)
+    assert ok, "caller must route infeasible shapes to the split kernels"
     blk_in = pl.BlockSpec((G, Np, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     blk_out = pl.BlockSpec(
         (G, Np, F // 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -391,7 +419,7 @@ def _fwd_packed(qkv, valid_len, heads):
         in_specs=[blk_in],
         out_specs=(blk_out, blk_lse),
         interpret=_interpret(),
-        **({"compiler_params": cp} if cp else {}),
+        **cpkw,
     )(qkv)
     return o, lse
 
@@ -403,11 +431,11 @@ def _bwd_packed(qkv, lse, g, valid_len, heads):
     # backward holds ~3 (Np,Np) fp32 temporaries per unrolled head iteration;
     # G=4 overflows the 16 MB VMEM scoped stack at Np=384, H=3; G=2 fits
     # (bf16); fp32 inputs halve again (double-buffered blocks, see
-    # _pick_group); large Np steps down to G=1 (+ raised vmem limit)
+    # _pick_group); the heads-aware policy steps G down / raises the vmem
+    # limit for large (Np, heads)
     G = (2 if qkv.dtype.itemsize <= 2 else 1) if B % 2 == 0 else 1
-    while G > 1 and G * 3 * Np * Np * 4 > _SCORE_TEMP_BUDGET:
-        G //= 2
-    cp = _vmem_params(G, Np, Np, temps=3)
+    G, cpkw, ok = _packed_policy(G, Np, heads, temps=3)
+    assert ok, "caller must route infeasible shapes to the split kernels"
     blk_in = pl.BlockSpec((G, Np, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     blk_o = pl.BlockSpec(
         (G, Np, F // 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -425,7 +453,7 @@ def _bwd_packed(qkv, lse, g, valid_len, heads):
         in_specs=[blk_in, blk_lse, blk_o],
         out_specs=blk_in,
         interpret=_interpret(),
-        **({"compiler_params": cp} if cp else {}),
+        **cpkw,
     )(qkv, lse, g)
     return dqkv
 
@@ -446,6 +474,31 @@ def flash_attention_qkv(
     return out
 
 
+def _packed_route_ok(N: int, heads: int) -> bool:
+    """True when the packed (heads-unrolled) kernels can launch this shape
+    at G=1 under the live-set cap for BOTH directions (bwd temps=3 is the
+    binding one); otherwise the VJP routes through the head-batched split
+    kernels, which scale with N only."""
+    _, _, ok = _packed_policy(1, N, heads, temps=3)
+    return ok
+
+
+def _split_heads(qkv, heads):
+    B, N, F = qkv.shape
+    dh = F // (3 * heads)
+    hd = heads * dh
+
+    def ht(t):
+        return t.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
+
+    return ht(qkv[..., :hd]), ht(qkv[..., hd:2 * hd]), ht(qkv[..., 2 * hd:])
+
+
+def _merge_heads(t):
+    B, H, N, dh = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(B, N, H * dh)
+
+
 def _qkv_vjp_fwd(qkv, heads, valid_len):
     B, N, F = qkv.shape
     if F % (3 * heads) != 0:
@@ -455,13 +508,28 @@ def _qkv_vjp_fwd(qkv, heads, valid_len):
     if N > MAX_SINGLE_BLOCK_SEQ:
         raise NotImplementedError(f"N > {MAX_SINGLE_BLOCK_SEQ}")
     vl = N if valid_len is None else int(valid_len)
+    if not _packed_route_ok(N, heads):
+        q, k, v = _split_heads(qkv, heads)
+        out4, lse = _fwd(q, k, v, vl)
+        return _merge_heads(out4), (qkv, lse)
     out, lse = _fwd_packed(qkv, vl, heads)
     return out, (qkv, lse)
 
 
 def _qkv_vjp_bwd(heads, valid_len, res, g):
     qkv, lse = res
-    vl = qkv.shape[1] if valid_len is None else int(valid_len)
+    N = qkv.shape[1]
+    vl = N if valid_len is None else int(valid_len)
+    if not _packed_route_ok(N, heads):
+        q, k, v = _split_heads(qkv, heads)
+        B, _, F = qkv.shape
+        dh = F // (3 * heads)
+        g4 = g.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
+        dq, dk, dv = _bwd_impl(q, k, v, lse, g4, vl)
+        dqkv = jnp.concatenate(
+            [_merge_heads(t).astype(qkv.dtype) for t in (dq, dk, dv)], axis=-1
+        )
+        return (dqkv,)
     return (_bwd_packed(qkv, lse, g, vl, heads),)
 
 

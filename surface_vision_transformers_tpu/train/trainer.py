@@ -308,9 +308,13 @@ class Trainer:
 
         from surface_vision_transformers_tpu.models.fused import _pure_dp
 
+        from surface_vision_transformers_tpu.models import MSSiT
+
         forced = FORCE_FUSED  # test-only module flag (see its definition)
         return (
-            type(self.model) is SiT  # megakernels encode the SiT block layout
+            # both families run the block megakernels (MS-SiT folds windows
+            # into the batch dim — models/fused_mssit.py)
+            type(self.model) in (SiT, MSSiT)
             and getattr(self.exp.tpu, "fused_train", True)
             and (_jax.default_backend() == "tpu" or forced)
             and (self.model.dtype == jnp.bfloat16 or forced)
@@ -383,13 +387,24 @@ class Trainer:
             and self._use_fused_train()
             and self._fused_batch_ok(batch.shape[0])
         ):
-            from surface_vision_transformers_tpu.models.fused import (
-                fused_train_forward,
-            )
+            from surface_vision_transformers_tpu.models import MSSiT
 
-            preds = fused_train_forward(
-                self.model, {"params": params}, batch, mesh=self.mesh
-            )
+            if isinstance(self.model, MSSiT):
+                from surface_vision_transformers_tpu.models.fused_mssit import (
+                    fused_mssit_train_forward,
+                )
+
+                preds = fused_mssit_train_forward(
+                    self.model, {"params": params}, batch, mesh=self.mesh
+                )
+            else:
+                from surface_vision_transformers_tpu.models.fused import (
+                    fused_train_forward,
+                )
+
+                preds = fused_train_forward(
+                    self.model, {"params": params}, batch, mesh=self.mesh
+                )
         else:
             preds = self.model.apply(
                 {"params": params}, batch, deterministic=deterministic, rngs=rngs
@@ -599,9 +614,11 @@ class Trainer:
 
         from surface_vision_transformers_tpu.models.fused import _pure_dp
 
+        from surface_vision_transformers_tpu.models import MSSiT
+
         forced = FORCE_FUSED
         return (
-            type(self.model) is SiT  # megakernels encode the SiT block layout
+            type(self.model) in (SiT, MSSiT)
             and self.task == "regression"
             and (_jax.default_backend() == "tpu" or forced)
             and (self.model.dtype == jnp.bfloat16 or forced)
@@ -616,9 +633,24 @@ class Trainer:
 
     def _infer(self, params, batch):
         if self._use_fused_inference() and self._fused_batch_ok(batch.shape[0]):
-            from surface_vision_transformers_tpu.models.fused import fused_forward
+            from surface_vision_transformers_tpu.models import MSSiT
 
             quant = getattr(self.exp.tpu, "quant", "none")
+            if isinstance(self.model, MSSiT):
+                if quant != "none":
+                    raise ValueError(
+                        "tpu.quant int8 serving is implemented for the SiT "
+                        "family's megakernels; MS-SiT serves in bf16"
+                    )
+                from surface_vision_transformers_tpu.models.fused_mssit import (
+                    fused_mssit_forward,
+                )
+
+                return fused_mssit_forward(
+                    self.model, {"params": params}, batch, mesh=self.mesh
+                )
+            from surface_vision_transformers_tpu.models.fused import fused_forward
+
             return fused_forward(
                 self.model, {"params": params}, batch, mesh=self.mesh,
                 quant=None if quant == "none" else quant,

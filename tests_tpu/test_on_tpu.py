@@ -639,7 +639,18 @@ def test_mssit_on_tpu():
         "optimisation": {"optimiser": "AdamW"},
         "AdamW": {"weight_decay": 0.01},
     })
+    # bf16 on TPU routes through the fused megakernel path
+    # (models/fused_mssit.py): check its forward against fp32 modular too
+    from surface_vision_transformers_tpu.models.fused_mssit import (
+        fused_mssit_forward,
+    )
+
+    outf = jax.jit(lambda p, xx: fused_mssit_forward(m16, p, xx))(params, x)
+    df = float(jnp.abs(outf.astype(jnp.float32) - ref).max())
+    assert df < 0.1 * max(scale, 1.0), (df, scale)
+
     trainer = Trainer(exp, patch_table=table.indices)
+    assert trainer._use_fused_train()
     yb = jnp.asarray(np.asarray(x[:, 0, :64].mean(axis=1)))
     state = trainer.init_state(np.asarray(x[:1], np.float32))
     losses = []
