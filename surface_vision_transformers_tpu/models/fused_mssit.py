@@ -58,13 +58,42 @@ def _embed(model: MSSiT, p: dict, x: jax.Array) -> jax.Array:
     return tokens + p["pos_embedding"].astype(tokens.dtype)
 
 
-def _run_block(block_fn, a, m, folded, heads, dim_head, dt):
+# int8 serving pays only where the GEMMs are wide enough for the 2x int8
+# MXU rate to beat the quant/dequant VPU overhead — measured a wash at
+# dim 192 and 1.45x at dim 768 for SiT (docs/design.md); MS-SiT stages at
+# or above this dim run W8A8, narrower stages stay bf16.
+INT8_MIN_DIM = 384
+
+
+def _run_block(block_fn, a, m, folded, heads, dim_head, dt, quant=None):
     """One (attn, mlp) param pair through a megakernel on the folded layout,
     padding the per-window length to the kernels' N % 8 requirement."""
     Nf = folded.shape[1]
     pad = (-Nf) % 8
     if pad:
         folded = jnp.pad(folded, [(0, 0), (0, pad), (0, 0)])
+    vl = Nf if pad else None
+    if quant == "int8":
+        from surface_vision_transformers_tpu.ops.pallas.fused_block_int8 import (
+            fused_block_int8, quantize_block_weights,
+        )
+
+        (q_qkv, s_qkv, q_out, s_out, q_fc1, s_fc1, q_fc2, s_fc2) = (
+            quantize_block_weights(
+                a["to_qkv"]["kernel"], a["to_out"]["kernel"],
+                m["fc1"]["kernel"], m["fc2"]["kernel"],
+            )
+        )
+        out = fused_block_int8(
+            folded,
+            a["norm"]["scale"], a["norm"]["bias"],
+            q_qkv, s_qkv, q_out, s_out, a["to_out"]["bias"],
+            m["norm"]["scale"], m["norm"]["bias"],
+            q_fc1, s_fc1, m["fc1"]["bias"],
+            q_fc2, s_fc2, m["fc2"]["bias"],
+            heads=heads, dim_head=dim_head, valid_len=vl,
+        )
+        return out[:, :Nf] if pad else out
     out = block_fn(
         folded,
         a["norm"]["scale"], a["norm"]["bias"],
@@ -74,7 +103,7 @@ def _run_block(block_fn, a, m, folded, heads, dim_head, dt):
         m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
         m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
         heads=heads, dim_head=dim_head,
-        valid_len=Nf if pad else None,
+        valid_len=vl,
     )
     return out[:, :Nf] if pad else out
 
@@ -97,12 +126,15 @@ def _train_block(a, m, folded, heads, dim_head, dt):
     return out[:, :Nf] if pad else out
 
 
-def _stages(model: MSSiT, p: dict, x: jax.Array, *, train: bool) -> jax.Array:
+def _stages(
+    model: MSSiT, p: dict, x: jax.Array, *, train: bool, quant=None
+) -> jax.Array:
     dt = model.dtype
     for st in stage_plan(model):
         s, dim_s, heads_s = st["stage"], st["dim"], st["heads"]
         dh = dim_s // heads_s
         B, T = x.shape[0], x.shape[1]
+        q_s = quant if (quant and dim_s >= INT8_MIN_DIM) else None
         for i, mix in enumerate(st["mixes"]):
             a = p[f"stage_{s}_block_{i}_attn"]
             m = p[f"stage_{s}_block_{i}_mlp"]
@@ -110,7 +142,9 @@ def _stages(model: MSSiT, p: dict, x: jax.Array, *, train: bool) -> jax.Array:
             if train:
                 out = _train_block(a, m, folded, heads_s, dh, dt)
             else:
-                out = _run_block(fused_block, a, m, folded, heads_s, dh, dt)
+                out = _run_block(
+                    fused_block, a, m, folded, heads_s, dh, dt, quant=q_s
+                )
             x = (
                 unfold_tokens(out, B, T, st["window"], mix)
                 if folded is not x
@@ -138,17 +172,24 @@ def _head(model: MSSiT, p: dict, x: jax.Array) -> jax.Array:
     ].astype(jnp.float32)
 
 
-def _forward(model: MSSiT, variables, x: jax.Array, *, train: bool):
+def _forward(model: MSSiT, variables, x: jax.Array, *, train: bool,
+             quant=None):
     p = variables["params"] if "params" in variables else variables
     tokens = _embed(model, p, x)
-    enc = _stages(model, p, tokens, train=train)
+    enc = _stages(model, p, tokens, train=train, quant=quant)
     return _head(model, p, enc)
 
 
-def fused_mssit_forward(model: MSSiT, variables, x, *, mesh=None):
+def fused_mssit_forward(model: MSSiT, variables, x, *, mesh=None, quant=None):
     """Inference through the megakernel blocks; == model.apply at bf16
     bounds. Under a PURE-DP mesh the whole forward shard_maps over the batch
-    axes (params replicated) like models.fused.fused_forward."""
+    axes (params replicated) like models.fused.fused_forward.
+    ``quant="int8"``: stages at dim >= INT8_MIN_DIM serve through the W8A8
+    megakernel (per-channel int8 weights, per-token dynamic int8
+    activations, int32 MXU accumulation); narrower stages stay bf16 —
+    int8 is a measured wash below ~dim 384 (docs/design.md)."""
+    if quant not in (None, "int8"):
+        raise ValueError(f"unknown quant mode {quant!r}")
     if mesh is not None and mesh.size > 1:
         if not _pure_dp(mesh) or x.shape[0] % mesh.shape["data"]:
             raise ValueError(
@@ -156,10 +197,10 @@ def fused_mssit_forward(model: MSSiT, variables, x, *, mesh=None):
                 "divisible by the data axis; use the modular model"
             )
         return _dp_shard_map(
-            lambda v, xx: _forward(model, v, xx, train=False),
+            lambda v, xx: _forward(model, v, xx, train=False, quant=quant),
             mesh, variables, x,
         )
-    return _forward(model, variables, x, train=False)
+    return _forward(model, variables, x, train=False, quant=quant)
 
 
 def fused_mssit_train_forward(model: MSSiT, variables, x, *, mesh=None):

@@ -825,7 +825,14 @@ def _split_groups(N: int, dim: int, mlp: int, hd: int, heads: int,
     gm = g0
     while gm > 1 and gm * per_m + acc_m > _GROUP_VMEM_BUDGET:
         gm //= 2
-    per_a = N * (hd * 3 * 6 + dim * 16) + heads * N * N * 8
+    # prob/score live set: Mosaic keeps ~4 (N, N) fp32 temporaries PER
+    # UNROLLED HEAD iteration alive (measured: heads=24, N=320, G=2 needed
+    # 98.7M on chip — 44.6M/group ≈ 8.4M row tiles + 24 x 1.5M/head; the
+    # old 2-buffer coefficient under-read it as 65.5M and OOM'd the 96M
+    # scoped-vmem cap). 16 B/elem = 4 fp32 buffers keeps SiT-base
+    # (heads=12, N=328) at its measured-optimal G=2 (67.8M est <= 72M) and
+    # clamps head-heavy shapes (MS-SiT stage 3: heads=24, dh=32) to G=1.
+    per_a = N * (hd * 3 * 6 + dim * 16) + heads * N * N * 16
     acc_a = (dim * 3 * hd + hd * dim) * 4
     ga = g0
     while ga > 1 and ga * per_a + acc_a > _GROUP_VMEM_BUDGET:
@@ -866,18 +873,18 @@ def _split_bwd_feasible(N: int, dim: int, mlp: int, hd: int,
                         heads: int) -> bool:
     """Can each split kernel run? MLP side: the unchunked kernel fits the
     40M per-kernel bound, or an mlp-chunked grid does (_mlp_chunks).
-    Attention side: its accumulators + working set fit — the prob tiles
-    count as a few live (N, N) fp32 buffers, not heads' worth, because the
-    gradient loop RECOMPUTES probs per head (one live at a time plus
-    scheduling slack). dim 768 (SiT-base): unchunked MLP ~35M, attn ~28M;
-    dim 1024/mlp 4096: MLP chunks at C=2 (~28M/chunk), attn ~32M —
-    validated on chip."""
+    Attention side: the G=1 working set under the HEADS-AWARE live-set
+    model from _split_groups (Mosaic keeps ~4 (N, N) fp32 temporaries per
+    unrolled head iteration — measured heads=24/N=320 at 44.6M/group)
+    plus accumulators must fit the 96M scoped-vmem hard cap (with slack).
+    dim 768 (SiT-base): MLP ~35M, attn ~38M est; dim 1024/mlp 4096: MLP
+    chunks at C=2 (~28M/chunk), attn ~56M est — both validated on chip."""
     bound = 40 * 1024 * 1024
     mlp_ok = (N * (mlp * 12 + dim * 16) + 2 * dim * mlp * 4 <= bound
               or _mlp_chunks(N, dim, mlp) > 0)
     acc_a = (dim * 3 * hd + hd * dim) * 4
-    work_a = N * (hd * 3 * 6 + dim * 16) + 4 * N * N * 8
-    return mlp_ok and acc_a + work_a <= bound
+    work_a = N * (hd * 3 * 6 + dim * 16) + heads * N * N * 16
+    return mlp_ok and acc_a + work_a <= 88 * 1024 * 1024
 
 
 def _block_bwd_split(x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,

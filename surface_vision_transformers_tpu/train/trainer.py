@@ -637,17 +637,13 @@ class Trainer:
 
             quant = getattr(self.exp.tpu, "quant", "none")
             if isinstance(self.model, MSSiT):
-                if quant != "none":
-                    raise ValueError(
-                        "tpu.quant int8 serving is implemented for the SiT "
-                        "family's megakernels; MS-SiT serves in bf16"
-                    )
                 from surface_vision_transformers_tpu.models.fused_mssit import (
                     fused_mssit_forward,
                 )
 
                 return fused_mssit_forward(
-                    self.model, {"params": params}, batch, mesh=self.mesh
+                    self.model, {"params": params}, batch, mesh=self.mesh,
+                    quant=None if quant == "none" else quant,
                 )
             from surface_vision_transformers_tpu.models.fused import fused_forward
 

@@ -100,7 +100,39 @@ def test_trainer_dispatches_fused_mssit(setup):
         trainer_mod.FORCE_FUSED = False
 
 
-def test_mssit_quant_rejected():
+def test_mssit_int8_serving_close_to_bf16(setup):
+    """quant="int8" routes stages at dim >= INT8_MIN_DIM through the W8A8
+    megakernel; narrower stages stay bf16. With the threshold forced to 0
+    every block runs int8 — outputs stay within quantization error of the
+    modular path, and exact-bf16 when the threshold excludes all stages."""
+    from surface_vision_transformers_tpu.models import fused_mssit as fm
+
+    model, params, x = setup
+    ref = np.asarray(model.apply(params, x), np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    old = fm.INT8_MIN_DIM
+    try:
+        fm.INT8_MIN_DIM = 0  # all stages int8
+        out = jax.jit(
+            lambda p, xx: fused_mssit_forward(model, p, xx, quant="int8")
+        )(params, x)
+        d = np.abs(np.asarray(out, np.float32) - ref).max()
+        assert d < 0.08 * scale, (d, scale)
+        fm.INT8_MIN_DIM = 10**9  # no stage qualifies -> pure bf16 path
+        out_bf = jax.jit(
+            lambda p, xx: fused_mssit_forward(model, p, xx, quant="int8")
+        )(params, x)
+        base = jax.jit(lambda p, xx: fused_mssit_forward(model, p, xx))(
+            params, x
+        )
+        np.testing.assert_array_equal(np.asarray(out_bf), np.asarray(base))
+    finally:
+        fm.INT8_MIN_DIM = old
+    with pytest.raises(ValueError, match="quant"):
+        fused_mssit_forward(model, params, x, quant="int4")
+
+
+def test_mssit_trainer_int8_dispatch(setup):
     from surface_vision_transformers_tpu.train import trainer as trainer_mod
     from surface_vision_transformers_tpu.train.trainer import Trainer
     from surface_vision_transformers_tpu.utils.config import from_dict
@@ -120,8 +152,10 @@ def test_mssit_quant_rejected():
     d = jnp.asarray(rng.standard_normal((4, 4, 162)), jnp.float32)
     trainer_mod.FORCE_FUSED = True
     try:
-        with pytest.raises(ValueError, match="SiT family"):
-            tr._infer(tr.init_state(np.asarray(d[:1], np.float32)).params, d)
+        preds = tr._infer(
+            tr.init_state(np.asarray(d[:1], np.float32)).params, d
+        )
+        assert preds.shape == (4, 1) and bool(jnp.isfinite(preds).all())
     finally:
         trainer_mod.FORCE_FUSED = False
 

@@ -393,9 +393,16 @@ def test_train_step_flagship_batch(flagship):
     ).all()
 
 
-@pytest.mark.parametrize("dim,mlp,heads", [(512, 2048, 8), (768, 3072, 12),
-                                           (1024, 4096, 16)])
-def test_large_dim_blocks_compile_first_try(dim, mlp, heads):
+@pytest.mark.parametrize("dim,mlp,heads,dh", [
+    (512, 2048, 8, 64), (768, 3072, 12, 64), (1024, 4096, 16, 64),
+    # MS-SiT global stage (heads=24, dh=32): Mosaic keeps ~4 (N, N) fp32
+    # temporaries live PER UNROLLED HEAD in the attention-grad kernel, so
+    # high head counts overflow scoped vmem at the G the 2-buffer estimate
+    # allowed (98.7M vs the 96M cap, caught by exp_mssit_fused.py);
+    # _split_groups' heads-aware live-set model clamps it to G=1
+    (768, 3072, 24, 32),
+])
+def test_large_dim_blocks_compile_first_try(dim, mlp, heads, dh):
     """VMEM-robustness beyond the measured shapes (VERDICT r2 #8): forward
     AND backward of the differentiable fused block must compile and run
     first try at dims never benchmarked. dim 512 and 768 (SiT-base!) take
@@ -410,7 +417,6 @@ def test_large_dim_blocks_compile_first_try(dim, mlp, heads):
         fused_block, fused_block_train,
     )
 
-    dh = 64
     hd = heads * dh
     B, N, vl = 8, 328, 321
     rng = np.random.default_rng(3)
