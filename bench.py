@@ -314,47 +314,53 @@ def main():
         fused_mssit_forward,
     )
 
-    tab_ms = load_patch_table(6, 5).indices
-    model_ms = MSSiT(patch_table=tab_ms)
-    params_ms = model_ms.init(key, jnp.zeros((1, 4, 40962)))
-    bs_ms = 32
-    xm = jax.random.normal(key, (bs_ms, 4, 40962), jnp.bfloat16)
+    # MS-SiT compiles are the slowest in the suite (28 folded blocks:
+    # init ~3 min, train ~2.5 min on chip even with the cache) — degrade to
+    # a recorded error rather than losing the headline metric below
+    try:
+        tab_ms = load_patch_table(6, 5).indices
+        model_ms = MSSiT(patch_table=tab_ms)
+        params_ms = model_ms.init(key, jnp.zeros((1, 4, 40962)))
+        bs_ms = 32
+        xm = jax.random.normal(key, (bs_ms, 4, 40962), jnp.bfloat16)
 
-    def step_ms(p, x, i):
-        return fused_mssit_forward(
-            model_ms, p, x + i.astype(jnp.bfloat16) * jnp.bfloat16(2**-7)
-        ).mean().astype(jnp.float32)
+        def step_ms(p, x, i):
+            return fused_mssit_forward(
+                model_ms, p, x + i.astype(jnp.bfloat16) * jnp.bfloat16(2**-7)
+            ).mean().astype(jnp.float32)
 
-    dt = timed_scan(step_ms, (params_ms, xm), iters=11)
-    details["mssit"] = {
-        "inference": {"bs": bs_ms, "ms_per_batch": round(dt * 1e3, 3),
-                      "surfaces_per_s": round(bs_ms / dt, 1)},
-    }
+        dt = timed_scan(step_ms, (params_ms, xm), iters=11)
+        details["mssit"] = {
+            "inference": {"bs": bs_ms, "ms_per_batch": round(dt * 1e3, 3),
+                          "surfaces_per_s": round(bs_ms / dt, 1)},
+        }
 
-    n_ms = 256
-    xmt = jax.random.normal(key, (n_ms, 4, 40962), jnp.bfloat16)
-    ymt = jax.random.normal(key, (n_ms,))
-    exp_ms = from_dict({
-        "resolution": {"ico": 6, "sub_ico": 5},
-        "transformer": {"model": "MS-SiT", "num_channels": 4},
-        "mssit": {"embed_dim": 96, "depths": [2, 2, 6, 2],
-                  "heads": [3, 6, 12, 24]},
-        "training": {"LR": 3e-4, "bs": bs_ms, "epochs": 1},
-        "optimisation": {"optimiser": "AdamW"},
-        "AdamW": {"weight_decay": 0.01},
-    })
-    trainer_ms = Trainer(exp_ms, patch_table=tab_ms)
-    state_ms = trainer_ms.init_state(jnp.zeros((1, 4, 40962), jnp.float32))
-    t0 = time.perf_counter()
-    state_ms, _ = trainer_ms.train_epoch(state_ms, xmt, ymt)  # compile
-    compile_ms = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    state_ms, _ = trainer_ms.train_epoch(state_ms, xmt, ymt)
-    e_ms = time.perf_counter() - t0
-    details["mssit"]["train"] = {
-        "bs": bs_ms, "surfaces_per_s": round(n_ms / e_ms, 1),
-        "compile_s": round(compile_ms, 1),
-    }
+        n_ms = 256
+        xmt = jax.random.normal(key, (n_ms, 4, 40962), jnp.bfloat16)
+        ymt = jax.random.normal(key, (n_ms,))
+        exp_ms = from_dict({
+            "resolution": {"ico": 6, "sub_ico": 5},
+            "transformer": {"model": "MS-SiT", "num_channels": 4},
+            "mssit": {"embed_dim": 96, "depths": [2, 2, 6, 2],
+                      "heads": [3, 6, 12, 24]},
+            "training": {"LR": 3e-4, "bs": bs_ms, "epochs": 1},
+            "optimisation": {"optimiser": "AdamW"},
+            "AdamW": {"weight_decay": 0.01},
+        })
+        trainer_ms = Trainer(exp_ms, patch_table=tab_ms)
+        state_ms = trainer_ms.init_state(jnp.zeros((1, 4, 40962), jnp.float32))
+        t0 = time.perf_counter()
+        state_ms, _ = trainer_ms.train_epoch(state_ms, xmt, ymt)  # compile
+        compile_ms = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state_ms, _ = trainer_ms.train_epoch(state_ms, xmt, ymt)
+        e_ms = time.perf_counter() - t0
+        details["mssit"]["train"] = {
+            "bs": bs_ms, "surfaces_per_s": round(n_ms / e_ms, 1),
+            "compile_s": round(compile_ms, 1),
+        }
+    except Exception as e:  # pragma: no cover - chip-session dependent
+        details.setdefault("mssit", {})["error"] = f"{type(e).__name__}: {e}"
 
     details["best_batch"] = best_bs
     details["baseline_a100_estimate_surfaces_per_s"] = BASELINE_A100_SURFACES_PER_S
