@@ -331,6 +331,19 @@ def test_split_backward_policy():
     assert _split_bwd_feasible(328, 384, 1536, 384, 6)
     assert _split_bwd_feasible(328, 768, 3072, 768, 12)
     assert _split_bwd_feasible(328, 1024, 4096, 1024, 16)  # via chunking
+
+    # heads-aware attention-grad live set (docs/design.md): Mosaic keeps
+    # ~4 (N, N) fp32 temporaries per unrolled head, so the MS-SiT global
+    # stage (heads=24, dh=32 — same dim/hd as SiT-base) must clamp the
+    # attn kernel to G=1 while SiT-base (heads=12, dh=64) keeps its
+    # measured-optimal G=2 (the 98.7M-vs-96M OOM caught on chip)
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        _split_groups,
+    )
+
+    assert _split_groups(328, 768, 3072, 768, 12, 8)[1] == 2  # SiT-base
+    assert _split_groups(320, 768, 3072, 768, 24, 8) == (2, 1)  # MS-SiT s3
+    assert _split_bwd_feasible(320, 768, 3072, 768, 24)
     assert _mlp_chunks(328, 384, 1536) == 0   # plain kernel fits
     assert _mlp_chunks(328, 768, 3072) == 0
     assert _mlp_chunks(328, 1024, 4096) == 2  # chunked grid
