@@ -641,7 +641,12 @@ def test_mssit_on_tpu():
         "transformer": {"model": "MS-SiT", "num_channels": 4},
         "mssit": {"embed_dim": 48, "depths": [2, 2, 2, 2],
                   "heads": [3, 6, 12, 24]},
-        "training": {"LR": 3e-4, "bs": B, "epochs": 1},
+        # LR 2e-5: at 3e-4 the full-batch AdamW trajectory overshoots at
+        # epoch 2 (0.08 -> 38.8) and hasn't recovered below the initial loss
+        # by epoch 3 on BOTH the fused and modular paths (on-chip A/B,
+        # trajectories match to ~3 decimals) — recipe instability, not a
+        # kernel bug. 2e-5 decreases past the initial loss by epoch 3.
+        "training": {"LR": 2e-5, "bs": B, "epochs": 1},
         "optimisation": {"optimiser": "AdamW"},
         "AdamW": {"weight_decay": 0.01},
     })
@@ -660,7 +665,7 @@ def test_mssit_on_tpu():
     yb = jnp.asarray(np.asarray(x[:, 0, :64].mean(axis=1)))
     state = trainer.init_state(np.asarray(x[:1], np.float32))
     losses = []
-    for _ in range(3):
+    for _ in range(4):
         state, met = trainer.train_epoch(state, x, yb)
         losses.append(met.loss)
     assert all(np.isfinite(losses)), losses
