@@ -218,3 +218,36 @@ def test_streaming_under_mesh_through_runner(tmp_path):
     assert res["streaming"] is True
     assert res["mesh"] == {"data": 8, "fsdp": 1, "model": 1}
     assert np.isfinite(res["best_mae"])
+
+
+def test_streaming_composes_with_mssit(tmp_path):
+    """data.streaming: on + the MS-SiT family: the loader is model-agnostic
+    (per-step jit over raw (n, C, V) vertex batches), so the multiscale
+    family streams from memmap files through the same product path."""
+    from surface_vision_transformers_tpu import geometry as G
+
+    rng = np.random.default_rng(0)
+    ico, level = 3, 1
+    data = rng.standard_normal((24, 4, G.num_vertices(ico))).astype(np.float64)
+    labels = data[:, 0].mean(axis=1).astype(np.float32)
+    ddir = _write_split_files(tmp_path, data, labels)
+
+    raw = {
+        "resolution": {"ico": ico, "sub_ico": level},
+        "transformer": {"model": "MS-SiT", "num_channels": 4},
+        "mssit": {"embed_dim": 16, "depths": [2, 2], "heads": [2, 4],
+                  "window": 16, "global_max": 8},
+        "training": {"LR": 1e-3, "bs": 8, "epochs": 2, "seed": 0,
+                     "val_epoch": 1, "save_ckpt": False},
+        "optimisation": {"optimiser": "AdamW"},
+        "AdamW": {"weight_decay": 0.01},
+        "tpu": {"compute_dtype": "float32"},
+        "data": {"data_path": str(ddir), "streaming": True},
+        "logging": {"folder_to_save_model": str(tmp_path / "logs")},
+    }
+    ds = runner.load_datasets(from_dict(raw))
+    assert isinstance(ds["train"][0], np.memmap)
+    res = runner.run_training(from_dict(raw), run_root=tmp_path / "run",
+                              progress=False)
+    assert res["streaming"] is True
+    assert np.isfinite(res["best_mae"])
