@@ -177,6 +177,12 @@ class Trainer:
                     f"depth {self.model.depth} not divisible by "
                     f"mesh_pipe={self.pipe}"
                 )
+            if exp.training.grad_accum > 1:
+                raise ValueError(
+                    "training.grad_accum > 1 with pipeline parallelism is "
+                    "redundant — tune tpu.pipe_microbatches instead (the "
+                    "GPipe schedule already microbatches each step)"
+                )
         self.loss_fn = get_loss_fn(exp.training.l1loss)
         self.optimizer = build_optimizer(exp.optim)
         self._epoch_fns: dict[tuple, Callable] = {}
@@ -416,6 +422,72 @@ class Trainer:
         )
         return loss, mae
 
+    def _grads_and_metrics(self, params, batch, targets, weights, rng,
+                           deterministic):
+        """(loss, mae), grads for one optimizer step — directly, or as a
+        ``lax.scan`` over ``training.grad_accum`` microbatches with fp32
+        gradient accumulation.
+
+        Every loss here is a weighted mean (sum(w*err)/sum(w), losses.py; the
+        MPP masked MSE normalizes per sample the same way), so the full-batch
+        value and gradient are EXACTLY the weight-sum-scaled combination of
+        the microbatch ones: g = sum_k W_k g_k / sum_k W_k. Peak activation
+        memory drops to one microbatch's forward+backward; params, grads and
+        the accumulators stay resident.
+        """
+
+        def loss_fg(p, b, t, w, r):
+            return self._loss(p, b, t, w, r, deterministic)
+
+        accum = self.exp.training.grad_accum
+        if accum <= 1 or batch.shape[0] % accum:
+            # ragged batches (smaller final dataset, bs clamped to n) fall
+            # back to the direct step — correctness first, memory second
+            (loss, mae), grads = jax.value_and_grad(loss_fg, has_aux=True)(
+                params, batch, targets, weights, rng
+            )
+            return (loss, mae), grads
+
+        mbs = batch.shape[0] // accum
+        mb = batch.reshape(accum, mbs, *batch.shape[1:])
+        mt = (
+            targets.reshape(accum, mbs, *targets.shape[1:])
+            if targets is not None
+            else None
+        )
+        mw = weights.reshape(accum, mbs)
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+
+        def body(carry, xs):
+            g_acc, l_acc, m_acc, w_acc = carry
+            b_k, t_k, w_k, k = xs
+            (loss, mae), g = jax.value_and_grad(loss_fg, has_aux=True)(
+                params, b_k, t_k, w_k, jax.random.fold_in(rng, k)
+            )
+            w_sum = w_k.sum()
+            g_acc = jax.tree_util.tree_map(
+                lambda a, gi: a + gi.astype(jnp.float32) * w_sum, g_acc, g
+            )
+            return (
+                g_acc,
+                l_acc + loss * w_sum,
+                m_acc + mae * w_sum,
+                w_acc + w_sum,
+            ), None
+
+        (g_acc, l_acc, m_acc, w_acc), _ = jax.lax.scan(
+            body,
+            (zeros, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)),
+            (mb, mt, mw, jnp.arange(accum)),
+        )
+        w_tot = jnp.maximum(w_acc, 1e-9)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g / w_tot).astype(p.dtype), g_acc, params
+        )
+        return (l_acc / w_tot, m_acc / w_tot), grads
+
     # -- jitted epoch --------------------------------------------------------
 
     def _build_epoch_fn(self, steps: int, bs: int):
@@ -456,12 +528,9 @@ class Trainer:
                     aug_rng = jax.random.fold_in(step_rng, 7)
                     batch = self.augment(aug_rng, batch)
 
-                def loss_for_grad(p):
-                    return self._loss(p, batch, tgt, b_w, step_rng, deterministic)
-
-                (loss, mae), grads = jax.value_and_grad(
-                    loss_for_grad, has_aux=True
-                )(state.params)
+                (loss, mae), grads = self._grads_and_metrics(
+                    state.params, batch, tgt, b_w, step_rng, deterministic
+                )
                 updates, opt_state = self.optimizer.update(
                     grads, state.opt_state, state.params
                 )
@@ -508,11 +577,8 @@ class Trainer:
             if self.augment is not None:
                 batch = self.augment(jax.random.fold_in(step_rng, 7), batch)
 
-            def loss_for_grad(p):
-                return self._loss(p, batch, tgt, w, step_rng, deterministic)
-
-            (loss, mae), grads = jax.value_and_grad(loss_for_grad, has_aux=True)(
-                state.params
+            (loss, mae), grads = self._grads_and_metrics(
+                state.params, batch, tgt, w, step_rng, deterministic
             )
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params

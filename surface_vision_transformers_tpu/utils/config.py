@@ -134,6 +134,11 @@ class TrainingConfig:
 
     bs: int = 256
     bs_val: int = 0  # 0 -> use bs
+    # split each batch into this many sequentially-processed microbatches,
+    # accumulating gradients (fp32, weight-sum scaled — exact for the
+    # weighted-mean losses) before the single optimizer update: the recipe's
+    # effective batch size at ~1/grad_accum of the activation memory
+    grad_accum: int = 1
     epochs: int = 100
     val_epoch: int = 10
     l1loss: bool = False
@@ -144,6 +149,15 @@ class TrainingConfig:
     load_weights_imagenet: bool = False
     dataset_ssl: str = "dhcp"
     seed: int = 0
+
+    def __post_init__(self):
+        if self.grad_accum < 1:
+            raise ValueError("training.grad_accum must be >= 1")
+        if self.bs % self.grad_accum:
+            raise ValueError(
+                f"training.bs ({self.bs}) must be divisible by "
+                f"training.grad_accum ({self.grad_accum})"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -308,6 +322,7 @@ def from_dict(raw: dict) -> Experiment:
     training = TrainingConfig(
         bs=int(tr.get("bs", 256)),
         bs_val=int(tr.get("bs_val", 0)),
+        grad_accum=int(tr.get("grad_accum", 1)),
         epochs=int(tr.get("epochs", 100)),
         val_epoch=int(tr.get("val_epoch", 10)),
         l1loss=bool(tr.get("l1loss", False)),
