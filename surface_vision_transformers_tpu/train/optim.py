@@ -37,6 +37,16 @@ def build_schedule(cfg: OptimConfig) -> optax.Schedule:
 
 
 def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    base = _build_base(cfg)
+    if cfg.grad_clip > 0:
+        # clip the raw gradient's global norm BEFORE any decay/momentum —
+        # torch recipes call clip_grad_norm_ between backward and step,
+        # which is the same placement
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), base)
+    return base
+
+
+def _build_base(cfg: OptimConfig) -> optax.GradientTransformation:
     schedule = build_schedule(cfg)
     if cfg.name == "SGD":
         parts = []

@@ -106,10 +106,15 @@ class OptimConfig:
     cosine_t_max: int = 5000
     cosine_eta_min: float = 1e-4
     warmup_steps: int = 0
+    # global-norm gradient clipping applied before the optimizer update
+    # (0 = off, the reference's behaviour)
+    grad_clip: float = 0.0
 
     def __post_init__(self):
         if self.name not in ("SGD", "Adam", "AdamW"):
             raise ValueError(f"unknown optimiser {self.name!r}")
+        if self.grad_clip < 0:
+            raise ValueError("optimisation.grad_clip must be >= 0")
         if self.schedule not in ("constant", "step", "cosine", "warmup_cosine"):
             raise ValueError(f"unknown schedule {self.schedule!r}")
 
@@ -316,6 +321,7 @@ def from_dict(raw: dict) -> Experiment:
         cosine_t_max=int(_get(raw, "CosineDecay.T_max", 5000)),
         cosine_eta_min=float(_get(raw, "CosineDecay.eta_min", 1e-4)),
         warmup_steps=int(_get(raw, "optimisation.warmup_steps", 0)),
+        grad_clip=float(_get(raw, "optimisation.grad_clip", 0.0)),
     )
 
     tr = raw.get("training", {})

@@ -83,6 +83,27 @@ def test_accum_mpp_runs(synth):
     assert m1.loss < m0.loss  # two epochs of a tiny model should improve
 
 
+def test_accum_under_data_mesh_matches_direct(synth):
+    """Microbatch reshape (bs -> K, bs/K) composes with batch sharding over
+    the data axis: each scanned microbatch keeps its axis-0 sharding."""
+    from surface_vision_transformers_tpu.parallel import make_mesh
+
+    data, labels = synth
+    mesh = make_mesh(data=2)
+
+    def run(ga):
+        exp = from_dict(tiny_config(bs=32, grad_accum=ga))
+        trainer = Trainer(exp, model=_model_override(exp), mesh=mesh)
+        state = trainer.init_state(data[:1])
+        losses = []
+        for _ in range(2):
+            state, m = trainer.train_epoch(state, data, labels)
+            losses.append(m.loss)
+        return np.asarray(losses)
+
+    np.testing.assert_allclose(run(4), run(1), rtol=2e-4)
+
+
 def test_grad_accum_config_contract():
     with pytest.raises(ValueError, match="divisible"):
         from_dict(tiny_config(bs=30, grad_accum=4))

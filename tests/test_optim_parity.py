@@ -65,3 +65,40 @@ def test_adamw_parity():
         OptimConfig(name="AdamW", lr=1e-3, weight_decay=1e-2),
         lambda p: torch.optim.AdamW(p, lr=1e-3, weight_decay=1e-2),
     )
+
+
+def test_grad_clip_parity():
+    """optimisation.grad_clip == torch clip_grad_norm_ between backward and
+    step (new knob; 0 = off = reference behaviour)."""
+    rng = np.random.default_rng(1)
+    w0 = rng.standard_normal((4, 5)).astype(np.float32)
+    # large-magnitude grads so the clip actually engages every step
+    grads = [10.0 * rng.standard_normal((4, 5)).astype(np.float32)
+             for _ in range(3)]
+    clip = 0.5
+
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([wt], lr=0.1, momentum=0.9)
+    for g in grads:
+        opt.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_([wt], clip)
+        opt.step()
+
+    params = {"w": jnp.asarray(w0)}
+    tx = build_optimizer(
+        OptimConfig(name="SGD", lr=0.1, momentum=0.9, grad_clip=clip)
+    )
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = {"w": params["w"] + updates["w"]}
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), wt.detach().numpy(), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_grad_clip_config_contract():
+    with pytest.raises(ValueError, match="grad_clip"):
+        OptimConfig(grad_clip=-1.0)
