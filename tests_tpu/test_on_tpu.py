@@ -176,6 +176,40 @@ def test_train_step_learns_on_tpu(setup):
     assert losses[-1] < losses[0], losses
 
 
+def test_grad_accum_fused_train_on_tpu(setup):
+    """training.grad_accum composes with the fused megakernel train path on
+    chip: each scanned microbatch passes the fused gates, and the accumulated
+    trajectory tracks the direct one (fp32 accumulation; bf16 forward noise
+    only)."""
+    _, model16, _, _ = setup
+    key = jax.random.PRNGKey(5)
+    xb = jax.random.normal(key, (2 * B, 4, 40962), jnp.float32)
+    yb = jnp.asarray(np.asarray(xb[:, 0, :8].mean(axis=1)))
+
+    def run(ga):
+        exp = from_dict({
+            "resolution": {"ico": 6, "sub_ico": 2},
+            "transformer": {"dim": 192, "depth": 2, "heads": 3, "mlp_dim": 768},
+            "training": {"LR": 1e-3, "bs": B, "epochs": 1, "grad_accum": ga},
+            "optimisation": {"optimiser": "Adam"},
+        })
+        trainer = Trainer(exp, model=model16)
+        assert trainer._use_fused_train()
+        assert trainer._fused_batch_ok(B // ga)
+        state = trainer.init_state(xb[:1])
+        losses = []
+        for _ in range(3):
+            state, m = trainer.train_epoch(state, xb, yb)
+            losses.append(m.loss)
+        return np.asarray(losses)
+
+    direct = run(1)
+    accum = run(2)
+    assert np.all(np.isfinite(accum)), accum
+    assert accum[-1] < accum[0], accum
+    np.testing.assert_allclose(accum, direct, rtol=5e-2)
+
+
 def test_mpp_fused_train_on_tpu(setup):
     """MPP pretrain path on the real chip (r3 head): fused encoder + the
     custom-VJP masked-MSE reconstruction head through Trainer.train_epoch —
