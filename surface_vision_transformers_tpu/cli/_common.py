@@ -9,9 +9,19 @@ import argparse
 import yaml
 
 
-def parse_config(description: str) -> dict:
+def parse_config(description: str, with_resume: bool = False):
+    """Returns the raw config dict — or (raw, resume_dir) when
+    ``with_resume`` (train/pretrain support ``--resume RUN_DIR``)."""
     p = argparse.ArgumentParser(description=description)
     p.add_argument("config", type=str, help="path to the YAML config")
+    if with_resume:
+        p.add_argument(
+            "--resume",
+            metavar="RUN_DIR",
+            default=None,
+            help="continue an interrupted run from its latest checkpoint "
+            "(last/final/best) in this existing run directory",
+        )
     p.add_argument(
         "--set",
         action="append",
@@ -39,4 +49,6 @@ def parse_config(description: str) -> dict:
         for k in parts[:-1]:
             cur = cur.setdefault(k, {})
         cur[parts[-1]] = yaml.safe_load(val)
+    if with_resume:
+        return raw, args.resume
     return raw

@@ -7,7 +7,9 @@ from surface_vision_transformers_tpu.cli._common import parse_config
 
 
 def main() -> None:
-    raw = parse_config("SiT supervised phenotype-regression training")
+    raw, resume_dir = parse_config(
+        "SiT supervised phenotype-regression training", with_resume=True
+    )
     from surface_vision_transformers_tpu.train import runner
     from surface_vision_transformers_tpu.utils.config import from_dict
 
@@ -16,7 +18,7 @@ def main() -> None:
         raise SystemExit(
             "config contains a pretraining_mpp block; use cli.pretrain"
         )
-    results = runner.run_training(exp)
+    results = runner.run_training(exp, resume_from=resume_dir)
     print(results)
 
 

@@ -218,6 +218,7 @@ def run_training(
     run_root: Optional[str] = None,
     mesh=None,
     progress: bool = True,
+    resume_from: Optional[str] = None,
 ) -> dict:
     """Supervised or MPP training per the config. Returns a results dict
     (best metric, epochs, run_dir...).
@@ -225,12 +226,17 @@ def run_training(
     This is the public entry-point contract (reference tools/train.py:443-459
     / tools/pretrain.py): multi-chip runs need nothing beyond the YAML —
     ``tpu.mesh_{data,fsdp,model}`` builds the mesh, parameters/optimizer
-    state shard per the TP/FSDP rules, batches shard over the data axes."""
+    state shard per the TP/FSDP rules, batches shard over the data axes.
+
+    ``resume_from``: an existing run directory — training continues IN that
+    directory from its latest checkpoint (``last`` > ``final`` > ``best``),
+    with the epoch counter and best-so-far restored (no reference
+    equivalent; its interrupted runs start over)."""
     mesh = _resolve_mesh(exp, mesh)
     with _mesh_context(mesh):
         return _run_training_inner(
             exp, datasets=datasets, run_root=run_root, mesh=mesh,
-            progress=progress,
+            progress=progress, resume_from=resume_from,
         )
 
 
@@ -241,6 +247,7 @@ def _run_training_inner(
     run_root: Optional[str],
     mesh,
     progress: bool,
+    resume_from: Optional[str] = None,
 ) -> dict:
     from surface_vision_transformers_tpu.utils.env import enable_compilation_cache
 
@@ -257,9 +264,16 @@ def _run_training_inner(
                 f"{name}: {d.shape[0]} samples vs {np.shape(l)[0]} labels"
             )
 
-    run_root = Path(run_root or exp.logging_folder)
-    run_dir = run_root / run_folder_name(exp)
-    run_dir.mkdir(parents=True, exist_ok=True)
+    if resume_from is not None:
+        run_dir = Path(resume_from)
+        if not run_dir.is_dir():
+            raise FileNotFoundError(
+                f"resume_from {run_dir} is not an existing run directory"
+            )
+    else:
+        run_root = Path(run_root or exp.logging_folder)
+        run_dir = run_root / run_folder_name(exp)
+        run_dir.mkdir(parents=True, exist_ok=True)
     logger = MetricLogger(run_dir)
 
     table_obj = load_patch_table(exp.ico, exp.sub_ico)
@@ -335,12 +349,35 @@ def _run_training_inner(
 
     best = math.inf
     best_epoch = -1
+    start_epoch = 0
     is_mpp = trainer.task == "mpp"
     metric_name = "loss" if is_mpp else "mae"
 
+    if resume_from is not None:
+        # newest-information-first: the rolling `last`, then the end-of-run
+        # `final`, then `best` (older but always present on val runs)
+        for name in ("last", "final", "best"):
+            if (run_dir / name).exists():
+                state, meta = _restore_state_flex(run_dir / name, state, trainer)
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                best = float(meta.get("best", meta.get(metric_name, math.inf)))
+                if math.isnan(best):
+                    best = math.inf
+                best_epoch = int(meta.get("best_epoch", -1))
+                if progress:
+                    print(
+                        f"resuming from {run_dir / name} at epoch "
+                        f"{start_epoch} (best {metric_name} {best:.5f})"
+                    )
+                break
+        else:
+            raise FileNotFoundError(
+                f"no checkpoint (last/final/best) under {run_dir}"
+            )
+
     from surface_vision_transformers_tpu.obs.logging import profile_trace
 
-    for epoch in range(exp.training.epochs):
+    for epoch in range(start_epoch, exp.training.epochs):
         with profile_trace(run_dir / "profile",
                            enabled=(epoch == exp.tpu.profile_epoch)):
             if streaming:
@@ -378,8 +415,11 @@ def _run_training_inner(
                         state,
                         {"epoch": epoch, metric_name: float(score)},
                     )
+                    # the weights the validation score was measured with —
+                    # the EMA shadow when training.ema > 0
+                    best_p = trainer.eval_params(state)
                     orbax_io.save_params_npz(
-                        run_dir / "best_params.npz", {"params": state.params}
+                        run_dir / "best_params.npz", {"params": best_p}
                     )
                     if is_mpp:
                         # encoder-only export for SSL -> finetune handoff
@@ -387,10 +427,23 @@ def _run_training_inner(
                         # encoder-decoder-best.pt, tools/pretrain.py:378-389)
                         orbax_io.save_params_npz(
                             run_dir / "encoder_best_params.npz",
-                            {"params": state.params["encoder"]},
+                            {"params": best_p["encoder"]},
                         )
                 if not is_mpp and preds is not None:
                     _write_preds_csv(run_dir / "preds.csv", preds, val_labels)
+
+        if (
+            exp.training.ckpt_every
+            and exp.training.save_ckpt
+            and (epoch + 1) % exp.training.ckpt_every == 0
+        ):
+            # rolling preemption checkpoint; run_training(resume_from=...)
+            # picks it up with the epoch counter and best-so-far intact
+            orbax_io.save_state(
+                run_dir / "last", state,
+                {"epoch": epoch, "best": float(best),
+                 "best_epoch": int(best_epoch)},
+            )
 
     if exp.training.save_ckpt:
         # final state is always recoverable, validation split or not
@@ -490,9 +543,9 @@ def run_testing(
         elif exp.ckpt_path:
             ckpt = Path(exp.ckpt_path)
             if ckpt.is_dir() and (ckpt / "best").exists():
-                state, _ = orbax_io.restore_state(ckpt / "best", state)
+                state, _ = _restore_state_flex(ckpt / "best", state, trainer)
             elif ckpt.is_dir() and (ckpt / "state").exists():
-                state, _ = orbax_io.restore_state(ckpt, state)
+                state, _ = _restore_state_flex(ckpt, state, trainer)
             else:
                 loaded = _load_params_any(str(ckpt), exp.model.depth)
                 state = trainer.load_params(
@@ -533,6 +586,24 @@ def run_testing(
     return results
 
 
+def _restore_state_flex(path, state: TrainState, trainer: Trainer):
+    """restore_state tolerant of the EMA field: a checkpoint written with the
+    opposite ``training.ema`` setting has a different TrainState structure
+    (shadow present/absent), so on a structure mismatch retry with the other
+    template and normalize via _ensure_ema."""
+    try:
+        return orbax_io.restore_state(path, state)
+    except Exception:
+        if state.ema_params is None:
+            alt = state.replace(
+                ema_params=jax.tree_util.tree_map(jnp.array, state.params)
+            )
+        else:
+            alt = state.replace(ema_params=None)
+        restored, meta = orbax_io.restore_state(path, alt)
+        return trainer._ensure_ema(restored), meta
+
+
 def resume(
     exp: Experiment, run_dir: str, datasets: Optional[dict] = None, mesh=None
 ):
@@ -552,5 +623,5 @@ def resume(
         trainer = Trainer(exp, mesh=mesh, patch_table=table)
         state = trainer.init_state(train_data[:1])
         state = _shard_state(state, mesh)
-        state, meta = orbax_io.restore_state(Path(run_dir) / "best", state)
+        state, meta = _restore_state_flex(Path(run_dir) / "best", state, trainer)
     return trainer, state, meta

@@ -43,6 +43,10 @@ class TrainState:
     opt_state: Any
     step: jax.Array
     rng: jax.Array
+    # EMA shadow of params when training.ema > 0 (None = off). A pytree
+    # None is an empty subtree, so states saved before this field existed
+    # restore unchanged.
+    ema_params: Any = None
 
 
 @dataclasses.dataclass
@@ -67,6 +71,12 @@ def _local_scalar(x) -> float:
     replicated on every device, but `float(x)` refuses arrays spanning
     non-addressable devices — read this process's shard instead."""
     return float(np.asarray(x.addressable_data(0)))
+
+
+def _seed_ema(params):
+    """Fresh buffers for the EMA shadow — aliasing the live param arrays
+    would make the donated epoch step pass the same buffer twice."""
+    return jax.tree_util.tree_map(jnp.array, params)
 
 
 def _batch_weights(n: int, bs: int) -> jnp.ndarray:
@@ -245,10 +255,41 @@ class Trainer:
             opt_state=self.optimizer.init(params),
             step=jnp.zeros((), jnp.int32),
             rng=state_rng,
+            ema_params=_seed_ema(params) if self.exp.training.ema > 0 else None,
         )
 
     def load_params(self, state: TrainState, params) -> TrainState:
-        return state.replace(params=params, opt_state=self.optimizer.init(params))
+        return state.replace(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            ema_params=_seed_ema(params) if self.exp.training.ema > 0 else None,
+        )
+
+    def _ensure_ema(self, state: TrainState) -> TrainState:
+        """Give a state the EMA leaf structure this Trainer expects — seeds
+        the shadow from the raw params when resuming a pre-EMA checkpoint
+        into an EMA run, and drops a stale shadow when EMA is off."""
+        if self.exp.training.ema > 0:
+            if state.ema_params is None:
+                state = state.replace(ema_params=_seed_ema(state.params))
+        elif state.ema_params is not None:
+            state = state.replace(ema_params=None)
+        return state
+
+    def _ema_update(self, ema_params, params):
+        """One shadow step (no-op pass-through when EMA is off)."""
+        d = self.exp.training.ema
+        if d <= 0 or ema_params is None:
+            return ema_params
+        return jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema_params, params
+        )
+
+    def eval_params(self, state: TrainState):
+        """The weights evaluation should use: the EMA shadow when enabled."""
+        if self.exp.training.ema > 0 and state.ema_params is not None:
+            return state.ema_params
+        return state.params
 
     def _constrain_batch(self, x):
         """Pin per-step batch tensors to the ('data','fsdp') axes inside jit.
@@ -540,6 +581,7 @@ class Trainer:
                     opt_state=opt_state,
                     step=state.step + 1,
                     rng=rng,
+                    ema_params=self._ema_update(state.ema_params, params),
                 )
                 return new_state, (loss, mae * b_w.sum())
 
@@ -551,6 +593,7 @@ class Trainer:
         return jax.jit(epoch_fn, donate_argnums=(0,))
 
     def train_epoch(self, state: TrainState, data, targets=None) -> tuple[TrainState, EpochMetrics]:
+        state = self._ensure_ema(state)
         data = self._mpp_tokens(data)
         n = data.shape[0]
         bs = min(self.exp.training.bs, n)
@@ -586,7 +629,8 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             return (
                 TrainState(params=params, opt_state=opt_state,
-                           step=state.step + 1, rng=rng),
+                           step=state.step + 1, rng=rng,
+                           ema_params=self._ema_update(state.ema_params, params)),
                 loss,
                 mae * w.sum(),
             )
@@ -596,6 +640,7 @@ class Trainer:
     def train_epoch_streaming(self, state: TrainState, loader) -> tuple[TrainState, EpochMetrics]:
         """One epoch over a data.pipeline.StreamingLoader (host-resident
         data); per-step jit with donated state, H2D overlapped by the loader."""
+        state = self._ensure_ema(state)
         if not hasattr(self, "_step_fn"):
             self._step_fn = self._build_step_fn()
         losses, mae_sums = [], []
@@ -647,7 +692,7 @@ class Trainer:
         preds_all = []
         for i, (batch, tgt, w) in enumerate(loader):
             ls, es, preds = self._eval_step_fn(
-                state.params, batch, tgt, w, jnp.int32(i)
+                self.eval_params(state), batch, tgt, w, jnp.int32(i)
             )
             try:
                 ls_f, es_f = float(ls), float(es)
@@ -760,7 +805,7 @@ class Trainer:
             self._eval_fns[key] = self._build_eval_fn(steps, bs)
         w = _batch_weights(n, bs)
         loss_sum, err_sum, preds = self._eval_fns[key](
-            state.params, data, targets, w
+            self.eval_params(state), data, targets, w
         )
         if self.task == "mpp":
             return EpochMetrics(loss=float(loss_sum) / n, mae=float(loss_sum) / n), None

@@ -144,6 +144,14 @@ class TrainingConfig:
     # weighted-mean losses) before the single optimizer update: the recipe's
     # effective batch size at ~1/grad_accum of the activation memory
     grad_accum: int = 1
+    # exponential moving average of the params (0 = off): validation, the
+    # best checkpoint and testing all use the EMA weights; the raw weights
+    # keep training. Typical decay 0.999.
+    ema: float = 0.0
+    # save a rolling `last` checkpoint (state + best-so-far metadata) every
+    # this many epochs (0 = off): preemption insurance — `--resume RUN_DIR`
+    # continues the run from it
+    ckpt_every: int = 0
     epochs: int = 100
     val_epoch: int = 10
     l1loss: bool = False
@@ -158,6 +166,8 @@ class TrainingConfig:
     def __post_init__(self):
         if self.grad_accum < 1:
             raise ValueError("training.grad_accum must be >= 1")
+        if not 0.0 <= self.ema < 1.0:
+            raise ValueError("training.ema must be in [0, 1)")
         if self.bs % self.grad_accum:
             raise ValueError(
                 f"training.bs ({self.bs}) must be divisible by "
@@ -329,6 +339,8 @@ def from_dict(raw: dict) -> Experiment:
         bs=int(tr.get("bs", 256)),
         bs_val=int(tr.get("bs_val", 0)),
         grad_accum=int(tr.get("grad_accum", 1)),
+        ema=float(tr.get("ema", 0.0)),
+        ckpt_every=int(tr.get("ckpt_every", 0)),
         epochs=int(tr.get("epochs", 100)),
         val_epoch=int(tr.get("val_epoch", 10)),
         l1loss=bool(tr.get("l1loss", False)),
