@@ -57,6 +57,12 @@ class StreamingLoader:
         self.drop_remainder = drop_remainder
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the shuffle stream with a given epoch index — resumed runs
+        call this with their start epoch so the continued trajectory sees the
+        same batch permutations the uninterrupted run would have."""
+        self._epoch = int(epoch)
+
     @property
     def num_samples(self) -> int:
         return self.data.shape[0]

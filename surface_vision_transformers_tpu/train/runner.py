@@ -354,25 +354,40 @@ def _run_training_inner(
     metric_name = "loss" if is_mpp else "mae"
 
     if resume_from is not None:
-        # newest-information-first: the rolling `last`, then the end-of-run
-        # `final`, then `best` (older but always present on val runs)
+        # pick the checkpoint with the HIGHEST recorded epoch — `last` is
+        # usually newest but is older than `final` when ckpt_every doesn't
+        # divide epochs (resuming from it would silently retrain the tail)
+        candidates = []
         for name in ("last", "final", "best"):
+            meta_file = run_dir / name / "metadata.json"
             if (run_dir / name).exists():
-                state, meta = _restore_state_flex(run_dir / name, state, trainer)
-                start_epoch = int(meta.get("epoch", -1)) + 1
-                best = float(meta.get("best", meta.get(metric_name, math.inf)))
-                if math.isnan(best):
-                    best = math.inf
-                best_epoch = int(meta.get("best_epoch", -1))
-                if progress:
-                    print(
-                        f"resuming from {run_dir / name} at epoch "
-                        f"{start_epoch} (best {metric_name} {best:.5f})"
-                    )
-                break
-        else:
+                meta = {}
+                if meta_file.exists():
+                    import json as _json
+
+                    meta = _json.loads(meta_file.read_text())
+                candidates.append((int(meta.get("epoch", -1)), name, meta))
+        if not candidates:
             raise FileNotFoundError(
                 f"no checkpoint (last/final/best) under {run_dir}"
+            )
+        epoch_at, name, meta = max(candidates, key=lambda c: c[0])
+        state, _ = _restore_state_flex(run_dir / name, state, trainer)
+        start_epoch = epoch_at + 1
+        best = float(meta.get("best", meta.get(metric_name, math.inf)))
+        if math.isnan(best):
+            best = math.inf
+        # `best`'s own epoch IS the best epoch (older metadata lacks the key)
+        default_be = epoch_at if name == "best" else -1
+        best_epoch = int(meta.get("best_epoch", default_be))
+        if streaming and train_loader is not None:
+            # align the shuffle stream so the continued trajectory sees the
+            # permutations the uninterrupted run would have
+            train_loader.set_epoch(start_epoch)
+        if progress:
+            print(
+                f"resuming from {run_dir / name} at epoch "
+                f"{start_epoch} (best {metric_name} {best:.5f})"
             )
 
     from surface_vision_transformers_tpu.obs.logging import profile_trace
@@ -413,7 +428,8 @@ def _run_training_inner(
                     orbax_io.save_state(
                         run_dir / "best",
                         state,
-                        {"epoch": epoch, metric_name: float(score)},
+                        {"epoch": epoch, metric_name: float(score),
+                         "best": float(score), "best_epoch": epoch},
                     )
                     # the weights the validation score was measured with —
                     # the EMA shadow when training.ema > 0
@@ -452,7 +468,8 @@ def _run_training_inner(
         # never improves)
         orbax_io.save_state(
             run_dir / "final", state,
-            {"epoch": exp.training.epochs - 1, metric_name: float(best)},
+            {"epoch": exp.training.epochs - 1, metric_name: float(best),
+             "best": float(best), "best_epoch": int(best_epoch)},
         )
         orbax_io.save_params_npz(
             run_dir / "final_params.npz", {"params": state.params}
@@ -462,10 +479,12 @@ def _run_training_inner(
                 run_dir / "encoder_final_params.npz",
                 {"params": state.params["encoder"]},
             )
-        if best_epoch < 0:
+        if best_epoch < 0 and not (run_dir / "best").exists():
+            # never write over a real best from an earlier (resumed) run
             orbax_io.save_state(
                 run_dir / "best", state,
-                {"epoch": exp.training.epochs - 1, metric_name: float("nan")},
+                {"epoch": exp.training.epochs - 1, metric_name: float("nan"),
+                 "best_epoch": -1},
             )
 
     results = {
@@ -593,7 +612,10 @@ def _restore_state_flex(path, state: TrainState, trainer: Trainer):
     template and normalize via _ensure_ema."""
     try:
         return orbax_io.restore_state(path, state)
-    except Exception:
+    except (ValueError, TypeError, KeyError):
+        # orbax raises ValueError on tree-structure mismatch; anything else
+        # (missing files, IO, dtype/shape explosions) propagates as-is so
+        # the real failure isn't masked by a misleading second attempt
         if state.ema_params is None:
             alt = state.replace(
                 ema_params=jax.tree_util.tree_map(jnp.array, state.params)

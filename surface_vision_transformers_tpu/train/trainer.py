@@ -504,8 +504,18 @@ class Trainer:
         def body(carry, xs):
             g_acc, l_acc, m_acc, w_acc = carry
             b_k, t_k, w_k, k = xs
+            # re-pin the microbatch to the data axes: the (accum, mbs, ...)
+            # reshape lets GSPMD spread axis 0's sharding across the accum
+            # axis, which would leave each scanned microbatch on a device
+            # subset (or pay a resharding collective per microbatch)
+            b_k = self._constrain_batch(b_k)
+            t_k = self._constrain_batch(t_k) if t_k is not None else None
+            # decorrelate from the augmentation key fold_in(step_rng, 7):
+            # at grad_accum >= 8 a bare fold_in(rng, k) would hand
+            # microbatch 7 the exact key that augmented this step's batch
+            mrng = jax.random.fold_in(jax.random.fold_in(rng, 0x5EED), k)
             (loss, mae), g = jax.value_and_grad(loss_fg, has_aux=True)(
-                params, b_k, t_k, w_k, jax.random.fold_in(rng, k)
+                params, b_k, t_k, w_k, mrng
             )
             w_sum = w_k.sum()
             g_acc = jax.tree_util.tree_map(
@@ -528,6 +538,33 @@ class Trainer:
             lambda g, p: (g / w_tot).astype(p.dtype), g_acc, params
         )
         return (l_acc / w_tot, m_acc / w_tot), grads
+
+    def _optimizer_step(self, state: TrainState, batch, tgt, w, deterministic):
+        """The one optimizer step both epoch modes share (on-device scan AND
+        streaming): constrain/augment the batch, grads (direct or
+        accumulated), optimizer update, EMA shadow. Returns
+        (new_state, loss, weighted |err| sum)."""
+        batch = self._constrain_batch(batch)
+        tgt = self._constrain_batch(tgt) if tgt is not None else None
+        rng, step_rng = jax.random.split(state.rng)
+        if self.augment is not None:
+            batch = self.augment(jax.random.fold_in(step_rng, 7), batch)
+
+        (loss, mae), grads = self._grads_and_metrics(
+            state.params, batch, tgt, w, step_rng, deterministic
+        )
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            rng=rng,
+            ema_params=self._ema_update(state.ema_params, params),
+        )
+        return new_state, loss, mae * w.sum()
 
     # -- jitted epoch --------------------------------------------------------
 
@@ -554,36 +591,16 @@ class Trainer:
 
             def one_step(state, sl):
                 i, b_w = sl
-                batch = self._constrain_batch(
-                    jax.lax.dynamic_slice_in_dim(data_p, i * bs, bs, axis=0)
-                )
+                batch = jax.lax.dynamic_slice_in_dim(data_p, i * bs, bs, axis=0)
                 tgt = (
-                    self._constrain_batch(
-                        jax.lax.dynamic_slice_in_dim(targets_p, i * bs, bs, axis=0)
-                    )
+                    jax.lax.dynamic_slice_in_dim(targets_p, i * bs, bs, axis=0)
                     if targets_p is not None
                     else None
                 )
-                rng, step_rng = jax.random.split(state.rng)
-                if self.augment is not None:
-                    aug_rng = jax.random.fold_in(step_rng, 7)
-                    batch = self.augment(aug_rng, batch)
-
-                (loss, mae), grads = self._grads_and_metrics(
-                    state.params, batch, tgt, b_w, step_rng, deterministic
+                new_state, loss, mae_sum = self._optimizer_step(
+                    state, batch, tgt, b_w, deterministic
                 )
-                updates, opt_state = self.optimizer.update(
-                    grads, state.opt_state, state.params
-                )
-                params = optax.apply_updates(state.params, updates)
-                new_state = TrainState(
-                    params=params,
-                    opt_state=opt_state,
-                    step=state.step + 1,
-                    rng=rng,
-                    ema_params=self._ema_update(state.ema_params, params),
-                )
-                return new_state, (loss, mae * b_w.sum())
+                return new_state, (loss, mae_sum)
 
             state, (losses, mae_sums) = jax.lax.scan(
                 one_step, state, (jnp.arange(steps), w)
@@ -614,26 +631,7 @@ class Trainer:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step_fn(state: TrainState, batch, tgt, w):
-            batch = self._constrain_batch(batch)
-            tgt = self._constrain_batch(tgt)
-            rng, step_rng = jax.random.split(state.rng)
-            if self.augment is not None:
-                batch = self.augment(jax.random.fold_in(step_rng, 7), batch)
-
-            (loss, mae), grads = self._grads_and_metrics(
-                state.params, batch, tgt, w, step_rng, deterministic
-            )
-            updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params
-            )
-            params = optax.apply_updates(state.params, updates)
-            return (
-                TrainState(params=params, opt_state=opt_state,
-                           step=state.step + 1, rng=rng,
-                           ema_params=self._ema_update(state.ema_params, params)),
-                loss,
-                mae * w.sum(),
-            )
+            return self._optimizer_step(state, batch, tgt, w, deterministic)
 
         return step_fn
 

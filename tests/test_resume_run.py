@@ -94,3 +94,60 @@ def test_cli_parses_resume_flag(monkeypatch, tmp_path):
     monkeypatch.setattr(sys, "argv", ["prog", str(cfg)])
     raw, resume_dir = parse_config("t", with_resume=True)
     assert resume_dir is None
+
+
+def test_resume_reproduces_uninterrupted_streaming_run(ds, tmp_path):
+    """Same exactness contract on the STREAMING path: the loader's shuffle
+    stream is realigned to the resume epoch (StreamingLoader.set_epoch), so
+    the continued run sees the same batch permutations the uninterrupted one
+    would have."""
+    def raw_for(epochs):
+        raw = base_raw(epochs=epochs, val_epoch=2, ckpt_every=1)
+        raw["data"] = {"streaming": "on"}
+        return raw
+
+    full = runner.run_training(
+        from_dict(raw_for(4)), datasets=ds, run_root=tmp_path / "full",
+        progress=False,
+    )
+    short = runner.run_training(
+        from_dict(raw_for(2)), datasets=ds, run_root=tmp_path / "parts",
+        progress=False,
+    )
+    resumed = runner.run_training(
+        from_dict(raw_for(4)), datasets=ds, progress=False,
+        resume_from=short["run_dir"],
+    )
+    np.testing.assert_allclose(resumed["best_mae"], full["best_mae"], rtol=1e-6)
+    assert resumed["best_epoch"] == full["best_epoch"]
+
+
+def test_resume_picks_newest_checkpoint_not_last(ds, tmp_path):
+    """epochs=3 with ckpt_every=2 leaves `last` at epoch 1 but `final` at
+    epoch 2: resume must pick the checkpoint with the highest epoch (final),
+    making the resume a no-op instead of silently retraining the tail."""
+    import json
+    from pathlib import Path
+
+    raw = base_raw(epochs=3, val_epoch=1, ckpt_every=2)
+    first = runner.run_training(
+        from_dict(raw), datasets=ds, run_root=tmp_path, progress=False
+    )
+    run_dir = Path(first["run_dir"])
+    assert json.loads((run_dir / "last" / "metadata.json").read_text())["epoch"] == 1
+    assert json.loads((run_dir / "final" / "metadata.json").read_text())["epoch"] == 2
+
+    n_train_records = sum(
+        1 for line in (run_dir / "metrics.jsonl").read_text().splitlines()
+        if "train/loss" in line
+    )
+    again = runner.run_training(
+        from_dict(raw), datasets=ds, progress=False, resume_from=str(run_dir)
+    )
+    n_after = sum(
+        1 for line in (run_dir / "metrics.jsonl").read_text().splitlines()
+        if "train/loss" in line
+    )
+    assert n_after == n_train_records  # no epochs re-trained
+    np.testing.assert_allclose(again["best_mae"], first["best_mae"], rtol=1e-6)
+    assert again["best_epoch"] == first["best_epoch"]
