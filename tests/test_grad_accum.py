@@ -119,3 +119,26 @@ def test_grad_accum_rejected_with_pipeline(synth):
     exp = from_dict(raw)
     with pytest.raises(ValueError, match="pipe_microbatches"):
         Trainer(exp, model=_model_override(exp), mesh=make_mesh(data=1, pipe=2))
+
+
+def test_accum_matches_direct_on_streaming_path(synth):
+    """train_epoch_streaming shares _optimizer_step, so accumulation must be
+    exact there too (same weighted combination; loader order fixed by seed)."""
+    from surface_vision_transformers_tpu.data.pipeline import StreamingLoader
+
+    data, labels = synth
+
+    def run(ga):
+        exp = from_dict(tiny_config(bs=32, grad_accum=ga))
+        trainer = Trainer(exp, model=_model_override(exp))
+        state = trainer.init_state(data[:1])
+        losses = []
+        for epoch in range(2):
+            loader = StreamingLoader(np.asarray(data), np.asarray(labels),
+                                     batch_size=32, shuffle=True, seed=0)
+            loader.set_epoch(epoch)
+            state, m = trainer.train_epoch_streaming(state, loader)
+            losses.append(m.loss)
+        return np.asarray(losses)
+
+    np.testing.assert_allclose(run(2), run(1), rtol=2e-4)
