@@ -105,6 +105,21 @@ def main():
         if tput > best_tput:
             best_tput, best_bs = tput, bs
 
+    # serving latency: device-side ms per single forward at small batch
+    # (p50-style number for online serving; the on-device scan excludes the
+    # ~60 ms relay dispatch, which a co-located server wouldn't pay)
+    details["latency"] = {}
+    for bs in (1, 8):
+        x = jax.random.normal(key, (bs, 4, 40962), jnp.bfloat16)
+
+        def step_l(p, x, i):
+            return fused_forward(
+                model, p, x + i.astype(jnp.bfloat16) * jnp.bfloat16(2**-7)
+            ).mean().astype(jnp.float32)
+
+        dt = timed_scan(step_l, (params, x), iters=51)
+        details["latency"][bs] = {"ms_per_forward": round(dt * 1e3, 3)}
+
     # train-step throughput on the reference's supervised recipe (SGD
     # momentum 0.9, reference config/SiT/training/hparams.yml) at the recipe
     # bs=256 and the saturating bs=512/1024; raw vertices feed bf16 like
