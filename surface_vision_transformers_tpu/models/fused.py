@@ -259,7 +259,8 @@ def predict(model: SiT, variables, data, *, batch_size: int = 256,
 
 
 def fused_train_forward(
-    model: SiT, variables, x: jax.Array, *, mesh=None
+    model: SiT, variables, x: jax.Array, *, mesh=None,
+    scan_blocks: bool = False,
 ) -> jax.Array:
     """DIFFERENTIABLE fused forward: same megakernel blocks with the
     single-kernel backward (fused_block_train). Gradients flow to every
@@ -270,7 +271,11 @@ def fused_train_forward(
     ``mesh``: pure-DP meshes shard_map the whole step over the batch axes
     (params replicated; the shard_map transpose psums the weight grads), so
     multi-chip data-parallel training keeps the single-kernel-per-block
-    backward. FSDP/TP meshes use the modular model."""
+    backward. FSDP/TP meshes use the modular model.
+
+    ``scan_blocks``: run the block stack as one lax.scan over depth-stacked
+    weights — the stack is bitwise the unrolled loop's, and the block kernel
+    pair compiles once instead of once per layer (``tpu.scan_blocks``)."""
     from surface_vision_transformers_tpu.ops.pallas.fused_block import (
         fused_block_train,
     )
@@ -282,7 +287,9 @@ def fused_train_forward(
                 "divisible by the data axis; use the modular model"
             )
         return _dp_shard_map(
-            lambda v, xx: fused_train_forward(model, v, xx),
+            lambda v, xx: fused_train_forward(
+                model, v, xx, scan_blocks=scan_blocks
+            ),
             mesh, variables, x,
         )
 
@@ -319,7 +326,14 @@ def fused_train_forward(
     valid = n + 1
     enc = p["encoder"]
     cls_last = model.pool == "cls"
-    for i in range(model.depth):
+    n_plain = model.depth - 1 if cls_last else model.depth
+    if scan_blocks and n_plain > 1:
+        stacked = _stacked_block_weights(enc, range(n_plain), dt)
+        h = _scan_block_stack(h, stacked, model.heads, model.dim_head, valid)
+        rest = range(n_plain, model.depth)
+    else:
+        rest = range(model.depth)
+    for i in rest:
         a = enc[f"layers_{i}_attn"]
         m = enc[f"layers_{i}_mlp"]
         block_fn = (
@@ -350,7 +364,47 @@ def fused_train_forward(
     ].astype(jnp.float32)
 
 
-def _fused_encoder_blocks(enc_model, enc, h, valid: int):
+def _stacked_block_weights(enc, idxs, dt):
+    """Depth-stack the 11 per-block weight arrays for ``lax.scan`` over the
+    block kernel: each leaf gains a leading len(idxs) axis. Differentiable
+    (the stack's transpose un-stacks cotangents back onto the layer leaves)."""
+    def leaves(i):
+        a = enc[f"layers_{i}_attn"]
+        m = enc[f"layers_{i}_mlp"]
+        return (
+            a["norm"]["scale"], a["norm"]["bias"],
+            a["to_qkv"]["kernel"].astype(dt),
+            a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+            m["norm"]["scale"], m["norm"]["bias"],
+            m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
+            m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+        )
+
+    per_layer = [leaves(i) for i in idxs]
+    return tuple(jnp.stack(ws) for ws in zip(*per_layer))
+
+
+def _scan_block_stack(h, stacked, heads: int, dim_head: int, valid: int):
+    """Run fused_block_train over depth-stacked weights as ONE lax.scan: the
+    megakernel pair (fwd + split bwd) is traced and Mosaic-compiled once
+    instead of once per layer, so first-compile time stops scaling with
+    depth. The stack itself (outputs AND grads) is bitwise the unrolled
+    loop's on TPU (tests_tpu pins this); end-to-end train steps agree to
+    bf16 rounding because XLA fuses the ops AROUND the stack differently
+    between the two program shapes. See ``TPUConfig.scan_blocks``."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        fused_block_train,
+    )
+
+    def body(hh, layer):
+        return fused_block_train(hh, *layer, heads, dim_head, valid), None
+
+    h, _ = jax.lax.scan(body, h, stacked)
+    return h
+
+
+def _fused_encoder_blocks(enc_model, enc, h, valid: int,
+                          scan_blocks: bool = False):
     """The fused_block_train stack: (B, Npad, dim) -> (B, Npad, dim). ``enc``
     is the encoder param subtree; everything here is Pallas megakernels, so
     under a mesh this is the region that must run per shard (shard_map)."""
@@ -359,6 +413,11 @@ def _fused_encoder_blocks(enc_model, enc, h, valid: int):
     )
 
     dt = enc_model.dtype
+    if scan_blocks and enc_model.depth > 1:
+        stacked = _stacked_block_weights(enc, range(enc_model.depth), dt)
+        return _scan_block_stack(
+            h, stacked, enc_model.heads, enc_model.dim_head, valid
+        )
     for i in range(enc_model.depth):
         a = enc[f"layers_{i}_attn"]
         m = enc[f"layers_{i}_mlp"]
@@ -433,7 +492,7 @@ _masked_mse_recon.defvjp(_masked_mse_recon_fwd, _masked_mse_recon_bwd)
 
 
 def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None, *,
-                   mesh=None):
+                   mesh=None, scan_blocks: bool = False):
     """Differentiable MPP loss over the fused-block encoder — functional
     equivalent of models.mpp.MPP.__call__ (corruption -> shared embed ->
     encoder -> reconstruction -> masked MSE) reading the param tree directly.
@@ -497,11 +556,15 @@ def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None, *,
                 "the data axis; use the modular MPP module"
             )
         h = _dp_shard_map(
-            lambda e, hh: _fused_encoder_blocks(enc_model, e, hh, n + 1),
+            lambda e, hh: _fused_encoder_blocks(
+                enc_model, e, hh, n + 1, scan_blocks=scan_blocks
+            ),
             mesh, enc, h,
         )
     else:
-        h = _fused_encoder_blocks(enc_model, enc, h, n + 1)
+        h = _fused_encoder_blocks(
+            enc_model, enc, h, n + 1, scan_blocks=scan_blocks
+        )
     h = h[:, 1 : n + 1]
 
     maskw = mask.astype(jnp.float32)

@@ -404,6 +404,7 @@ class Trainer:
                 loss, _ = fused_mpp_loss(
                     self.mpp, {"params": params}, batch, rng,
                     sample_weights=weights, mesh=self.mesh,
+                    scan_blocks=self.exp.tpu.scan_blocks,
                 )
                 return loss, loss
             rngs = {"dropout": rng} if not deterministic else {}
@@ -450,7 +451,8 @@ class Trainer:
                 )
 
                 preds = fused_train_forward(
-                    self.model, {"params": params}, batch, mesh=self.mesh
+                    self.model, {"params": params}, batch, mesh=self.mesh,
+                    scan_blocks=self.exp.tpu.scan_blocks,
                 )
         else:
             preds = self.model.apply(

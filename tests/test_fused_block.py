@@ -625,3 +625,66 @@ def test_fused_mpp_loss_grads_match_plain_head():
     for a, e in zip(flat_f, flat_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_scan_blocks_parity():
+    """tpu.scan_blocks runs the SAME block kernels as one lax.scan over
+    depth-stacked weights — identical math, different compilation structure.
+    On CPU-interpret the unrolled and scanned programs XLA-fuse differently
+    (FMA/reassociation), so parity here is ulp-level; the on-TPU tier pins
+    BITWISE equality (the block is one opaque Mosaic kernel either way)."""
+    from surface_vision_transformers_tpu.models.fused import (
+        fused_train_forward,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 320, 153))
+    for pool in ("cls", "mean"):
+        model = SiT(dtype=jnp.float32, pool=pool, **{**CFG, "depth": 4})
+        params = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, sb):
+            out = fused_train_forward(model, p, x, scan_blocks=sb)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        l_u, g_u = jax.jit(jax.value_and_grad(lambda p: loss(p, False)))(params)
+        l_s, g_s = jax.jit(jax.value_and_grad(lambda p: loss(p, True)))(params)
+        np.testing.assert_allclose(float(l_u), float(l_s), rtol=1e-6)
+        for a, e in zip(jax.tree_util.tree_leaves(g_s),
+                        jax.tree_util.tree_leaves(g_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-4, atol=1e-7)
+
+
+def test_scan_blocks_mpp_and_config():
+    """scan_blocks through fused_mpp_loss (bitwise loss + grads) and the
+    tpu.scan_blocks config key parses into the Trainer's fused path."""
+    from surface_vision_transformers_tpu.models import MPP
+    from surface_vision_transformers_tpu.models.fused import fused_mpp_loss
+    from surface_vision_transformers_tpu.utils.config import from_dict
+
+    model = SiT(dtype=jnp.float32, **{**CFG, "depth": 3})
+    mpp = MPP(encoder=model, mask_prob=0.5, replace_prob=0.8, swap_prob=0.02)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 320, 153))
+    params = mpp.init({"params": jax.random.PRNGKey(0)}, x,
+                      jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(7)
+
+    def loss(p, sb):
+        return fused_mpp_loss(mpp, p, x, rng, scan_blocks=sb)[0]
+
+    l_u, g_u = jax.jit(jax.value_and_grad(lambda p: loss(p, False)))(params)
+    l_s, g_s = jax.jit(jax.value_and_grad(lambda p: loss(p, True)))(params)
+    np.testing.assert_allclose(float(l_u), float(l_s), rtol=1e-6)
+    for a, e in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-7)
+
+    exp = from_dict({
+        "resolution": {"ico": 6, "sub_ico": 2},
+        "transformer": {"dim": 32, "depth": 3, "heads": 2, "mlp_dim": 64},
+        "training": {"LR": 1e-4, "bs": 2, "epochs": 1},
+        "optimisation": {"optimiser": "Adam"},
+        "tpu": {"scan_blocks": True},
+    })
+    assert exp.tpu.scan_blocks is True

@@ -749,3 +749,58 @@ def test_packed_kernel_large_n_compiles_and_matches():
         scale = float(jnp.abs(gr.astype(jnp.float32)).max()) + 1e-6
         assert do < 0.05, (N, do)
         assert dg < 0.05 * max(scale, 1.0), (N, dg, scale)
+
+
+def test_scan_blocks_stack_bitwise_on_chip():
+    """tpu.scan_blocks: the lax.scan'd fused_block_train stack must be
+    BITWISE the unrolled loop — forward output, dx, and every stacked weight
+    grad (compiled Mosaic; the scan may only change compile structure). The
+    end-to-end train step is only bf16-close (XLA fuses the surrounding
+    glue differently), so the exactness contract is pinned HERE, at the
+    stack boundary."""
+    from surface_vision_transformers_tpu.ops.pallas.fused_block import (
+        fused_block_train,
+    )
+
+    DEPTH, DIM, HEADS, DH, MLP, N, VALID = 4, 192, 3, 64, 768, 328, 321
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+
+    def w(k, shape, s=0.05):
+        return (jax.random.normal(k, (DEPTH, *shape)) * s).astype(jnp.bfloat16)
+
+    ws = (
+        jnp.ones((DEPTH, DIM), jnp.float32), jnp.zeros((DEPTH, DIM), jnp.float32),
+        w(ks[0], (DIM, 3 * HEADS * DH)), w(ks[1], (HEADS * DH, DIM)),
+        jnp.zeros((DEPTH, DIM), jnp.float32),
+        jnp.ones((DEPTH, DIM), jnp.float32), jnp.zeros((DEPTH, DIM), jnp.float32),
+        w(ks[2], (DIM, MLP)), jnp.zeros((DEPTH, MLP), jnp.float32),
+        w(ks[3], (MLP, DIM)), jnp.zeros((DEPTH, DIM), jnp.float32),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, N, DIM), jnp.bfloat16)
+
+    def unrolled(x, ws):
+        for i in range(DEPTH):
+            x = fused_block_train(x, *[q[i] for q in ws], HEADS, DH, VALID)
+        return x
+
+    def scanned(x, ws):
+        def body(h, layer):
+            return fused_block_train(h, *layer, HEADS, DH, VALID), None
+
+        return jax.lax.scan(body, x, ws)[0]
+
+    o_u = jax.jit(unrolled)(x, ws)
+    o_s = jax.jit(scanned)(x, ws)
+    assert (np.asarray(o_u) == np.asarray(o_s)).all()
+
+    def loss(fn):
+        return jax.jit(jax.grad(
+            lambda x, w: (fn(x, w).astype(jnp.float32) ** 2).sum(),
+            argnums=(0, 1),
+        ))
+
+    g_u = loss(unrolled)(x, ws)
+    g_s = loss(scanned)(x, ws)
+    for a, e in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_u)):
+        assert (np.asarray(a) == np.asarray(e)).all()
