@@ -74,8 +74,8 @@ def time_step_compile(tag, trainer, bs):
 
 def time_epoch_compile(tag, trainer, bs, n=4096):
     key = jax.random.PRNGKey(0)
-    # pre-tokenized input skips _mpp_tokens' separate jit
-    x = jax.random.normal(key, (n, 320, 612), jnp.bfloat16)
+    # pre-patched input (both tasks accept it; MPP tokenizes once up front)
+    x = jax.random.normal(key, (n, 4, 320, 153), jnp.bfloat16)
     tgt = None
     if trainer.exp.mpp is None:
         tgt = jax.random.normal(jax.random.PRNGKey(1), (n, 1))

@@ -504,7 +504,7 @@ def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None, *,
     loss is EXACTLY the single-device value (same global corruption from the
     same ``rng``). Non-DP meshes must use the modular MPP module."""
     from surface_vision_transformers_tpu.models.mpp import corrupt_sequence
-    from surface_vision_transformers_tpu.ops import patchify as _patchify
+    from surface_vision_transformers_tpu.ops import patchify, patchify_chunked
 
     if mesh is not None and mesh.size > 1 and not _pure_dp(mesh):
         raise ValueError(
@@ -522,7 +522,13 @@ def fused_mpp_loss(mpp, variables, batch, rng, sample_weights=None, *,
     elif batch.ndim == 3 and batch.shape[-1] == patch_dim:
         target = batch
     else:
-        target = _patchify(batch, enc_model.patch_table)
+        if mesh is None or mesh.size == 1:
+            # chunked keeps XLA's gather compile flat in the row count
+            target = patchify_chunked(batch, enc_model.patch_table)
+        else:
+            # under a mesh the batch is GSPMD-sharded; lax.map row tiling
+            # would fight the sharding, so keep the one partitionable gather
+            target = patchify(batch, enc_model.patch_table)
         if enc_model.norm_means is not None:
             from surface_vision_transformers_tpu.ops import normalize_tokens
 

@@ -36,7 +36,11 @@ from surface_vision_transformers_tpu.models.sit import (
     torch_linear_bias_init,
     torch_linear_kernel_init,
 )
-from surface_vision_transformers_tpu.ops import normalize_tokens, patchify, rearrange_patched
+from surface_vision_transformers_tpu.ops import (
+    normalize_tokens,
+    patchify,
+    rearrange_patched,
+)
 
 
 def exact_count_mask(key: jax.Array, batch: int, seq_len: int, prob: float):
@@ -148,6 +152,11 @@ class MPP(nn.Module):
         elif batch.ndim == 3 and batch.shape[-1] == patch_dim:
             target = batch
         elif batch.ndim == 3:
+            # plain (unchunked) gather: this runs at BATCH scale and may sit
+            # under a GSPMD mesh, where lax.map row tiling would fight the
+            # batch sharding (see ops.patchify_chunked — dataset-scale
+            # tokenization is the compile-time hazard, handled in
+            # trainer._mpp_tokens)
             target = patchify(batch, enc.patch_table)
             if enc.norm_means is not None:
                 # raw-vertex input: match the supervised path's folded

@@ -7,6 +7,7 @@ from surface_vision_transformers_tpu.ops.patchify import (
     normalize_tokens,
     fused_patch_embed,
     patchify,
+    patchify_chunked,
     rearrange_patched,
 )
 
@@ -16,6 +17,7 @@ __all__ = [
     "fused_patch_embed",
     "multi_head_attention",
     "patchify",
+    "patchify_chunked",
     "rearrange_patched",
     "xla_attention",
 ]

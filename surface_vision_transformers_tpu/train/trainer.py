@@ -329,13 +329,27 @@ class Trainer:
             return cached[1]
 
         from surface_vision_transformers_tpu.ops import (
-            normalize_tokens, patchify, rearrange_patched,
+            normalize_tokens, patchify, patchify_chunked, rearrange_patched,
         )
+
+        # chunk only when the dataset is not GSPMD-sharded: lax.map row
+        # tiling fights a mesh-sharded batch axis (same opt-in rule as
+        # fused_patch_embed's gather_chunk)
+        chunked = self.mesh is None or self.mesh.size == 1
 
         @jax.jit
         def tok(x):
             if x.ndim == 4:
                 return rearrange_patched(x)
+            if chunked:
+                post = None
+                if self.model.norm_means is not None:
+                    post = lambda t: normalize_tokens(
+                        t, self.model.norm_means, self.model.norm_stds
+                    )
+                # the unchunked dataset-scale gather costs ~200 s of XLA
+                # compile at n=4096 (12 s chunked; see ops.patchify_chunked)
+                return patchify_chunked(x, self.model.patch_table, post=post)
             t = patchify(x, self.model.patch_table)
             if self.model.norm_means is not None:
                 t = normalize_tokens(

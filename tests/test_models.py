@@ -127,3 +127,23 @@ def test_bf16_close_to_fp32():
     o32 = np.asarray(m32.apply(params, x))
     o16 = np.asarray(m16.apply(params, x))
     assert np.abs(o32 - o16).max() < 0.15 * (np.abs(o32).max() + 1)
+
+
+def test_patchify_chunked_matches_plain():
+    """patchify_chunked (lax.map row tiles — the dataset-scale tokenize
+    whose unchunked XLA gather costs ~200 s of compile at n=4096 on v5e)
+    is EXACTLY patchify: even/ragged row counts, n <= chunk passthrough,
+    and a fused post op."""
+    from surface_vision_transformers_tpu.geometry import load_patch_table
+    from surface_vision_transformers_tpu.ops import patchify_chunked
+
+    table = load_patch_table(6, 2).indices
+    key = jax.random.PRNGKey(5)
+    for n, chunk in ((4, 2), (5, 2), (3, 8)):
+        x = jax.random.normal(key, (n, 4, 40962))
+        ref = np.asarray(patchify(x, table))
+        out = np.asarray(patchify_chunked(x, table, chunk=chunk))
+        np.testing.assert_array_equal(out, ref)
+        post = lambda t: t * 2.0 + 1.0
+        out_p = np.asarray(patchify_chunked(x, table, chunk=chunk, post=post))
+        np.testing.assert_array_equal(out_p, ref * 2.0 + 1.0)
