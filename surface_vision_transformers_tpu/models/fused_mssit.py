@@ -126,8 +126,37 @@ def _train_block(a, m, folded, heads, dim_head, dt):
     return out[:, :Nf] if pad else out
 
 
+def _train_block_flat(leaves, folded, heads, dim_head):
+    """_train_block on a pre-cast 11-array weight tuple (the lax.scan body
+    slice of the depth-stacked weights — see _stages scan_blocks)."""
+    Nf = folded.shape[1]
+    pad = (-Nf) % 8
+    if pad:
+        folded = jnp.pad(folded, [(0, 0), (0, pad), (0, 0)])
+    out = fused_block_train(
+        folded, *leaves, heads, dim_head, Nf if pad else None,
+    )
+    return out[:, :Nf] if pad else out
+
+
+def _block_leaves(p: dict, s: int, i: int, dt):
+    """The 11 weight arrays of stage-s block-i, cast exactly as _train_block
+    casts them (GEMM kernels to the compute dtype, norms/biases untouched)."""
+    a = p[f"stage_{s}_block_{i}_attn"]
+    m = p[f"stage_{s}_block_{i}_mlp"]
+    return (
+        a["norm"]["scale"], a["norm"]["bias"],
+        a["to_qkv"]["kernel"].astype(dt),
+        a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+        m["norm"]["scale"], m["norm"]["bias"],
+        m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
+        m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+    )
+
+
 def _stages(
-    model: MSSiT, p: dict, x: jax.Array, *, train: bool, quant=None
+    model: MSSiT, p: dict, x: jax.Array, *, train: bool, quant=None,
+    scan_blocks: bool = False,
 ) -> jax.Array:
     dt = model.dtype
     for st in stage_plan(model):
@@ -135,7 +164,44 @@ def _stages(
         dh = dim_s // heads_s
         B, T = x.shape[0], x.shape[1]
         q_s = quant if (quant and dim_s >= INT8_MIN_DIM) else None
-        for i, mix in enumerate(st["mixes"]):
+        mixes = st["mixes"]
+        # scan over the mix CYCLE (stage_plan alternates 'window' with the
+        # cross mix): one scan iteration runs one full cycle, so each stage
+        # Mosaic-compiles its kernel pair once per distinct mix instead of
+        # once per block. Same bitwise-stack / bf16-glue contract as
+        # models.fused._scan_block_stack.
+        pc = 1 if all(mx == mixes[0] for mx in mixes) else 2
+        reps = len(mixes) // pc
+        if (
+            train and scan_blocks and reps > 1
+            and mixes == mixes[:pc] * reps
+        ):
+            stacked = tuple(
+                tuple(
+                    jnp.stack([
+                        _block_leaves(p, s, k * pc + j, dt)[mleaf]
+                        for k in range(reps)
+                    ])
+                    for mleaf in range(11)
+                )
+                for j in range(pc)
+            )
+
+            def body(h, layer, *, _w=st["window"], _hs=heads_s, _dh=dh,
+                     _mixes=tuple(mixes[:pc]), _B=B, _T=T):
+                for j, mix in enumerate(_mixes):
+                    folded = fold_tokens(h, _w, mix)
+                    out = _train_block_flat(layer[j], folded, _hs, _dh)
+                    h = (
+                        unfold_tokens(out, _B, _T, _w, mix)
+                        if folded is not h
+                        else out
+                    )
+                return h, None
+
+            x, _ = jax.lax.scan(body, x, stacked)
+            mixes = []
+        for i, mix in enumerate(mixes):
             a = p[f"stage_{s}_block_{i}_attn"]
             m = p[f"stage_{s}_block_{i}_mlp"]
             folded = fold_tokens(x, st["window"], mix)
@@ -173,10 +239,11 @@ def _head(model: MSSiT, p: dict, x: jax.Array) -> jax.Array:
 
 
 def _forward(model: MSSiT, variables, x: jax.Array, *, train: bool,
-             quant=None):
+             quant=None, scan_blocks: bool = False):
     p = variables["params"] if "params" in variables else variables
     tokens = _embed(model, p, x)
-    enc = _stages(model, p, tokens, train=train, quant=quant)
+    enc = _stages(model, p, tokens, train=train, quant=quant,
+                  scan_blocks=scan_blocks)
     return _head(model, p, enc)
 
 
@@ -203,10 +270,13 @@ def fused_mssit_forward(model: MSSiT, variables, x, *, mesh=None, quant=None):
     return _forward(model, variables, x, train=False, quant=quant)
 
 
-def fused_mssit_train_forward(model: MSSiT, variables, x, *, mesh=None):
+def fused_mssit_train_forward(model: MSSiT, variables, x, *, mesh=None,
+                              scan_blocks: bool = False):
     """DIFFERENTIABLE fused forward: every windowed block runs
     fused_block_train (single-kernel or split backward per its per-shape
-    policy); embed/merge/head stay XLA autodiff."""
+    policy); embed/merge/head stay XLA autodiff. ``scan_blocks``: per-stage
+    lax.scan over the mix cycle — kernels compile once per distinct mix per
+    stage instead of once per block (``tpu.scan_blocks``)."""
     if mesh is not None and mesh.size > 1:
         if not _pure_dp(mesh) or x.shape[0] % mesh.shape["data"]:
             raise ValueError(
@@ -214,7 +284,8 @@ def fused_mssit_train_forward(model: MSSiT, variables, x, *, mesh=None):
                 "divisible by the data axis; use the modular model"
             )
         return _dp_shard_map(
-            lambda v, xx: _forward(model, v, xx, train=True),
+            lambda v, xx: _forward(model, v, xx, train=True,
+                                   scan_blocks=scan_blocks),
             mesh, variables, x,
         )
-    return _forward(model, variables, x, train=True)
+    return _forward(model, variables, x, train=True, scan_blocks=scan_blocks)

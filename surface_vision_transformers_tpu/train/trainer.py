@@ -457,7 +457,8 @@ class Trainer:
                 )
 
                 preds = fused_mssit_train_forward(
-                    self.model, {"params": params}, batch, mesh=self.mesh
+                    self.model, {"params": params}, batch, mesh=self.mesh,
+                    scan_blocks=self.exp.tpu.scan_blocks,
                 )
             else:
                 from surface_vision_transformers_tpu.models.fused import (

@@ -174,3 +174,33 @@ def test_fused_mssit_pure_dp_shard_map(setup):
         fused_mssit_forward(
             model, params, x, mesh=make_mesh(data=2, model=2)
         )
+
+
+def test_scan_blocks_parity_mssit():
+    """tpu.scan_blocks for MS-SiT: per-stage lax.scan over the mix cycle
+    must match the unrolled stage loop (same kernels, same order). depths
+    (4, 2): stage 0 scans a window+axial cycle twice, stage 1 (global,
+    all-'window') scans two single-mix iterations. CPU-interpret parity is
+    ulp-level (XLA fuses glue differently across program shapes)."""
+    table = G.load_patch_table(ICO, LEVEL)
+    model = MSSiT(
+        ico=ICO, patch_level=LEVEL, num_vertices=6, embed_dim=16,
+        depths=(4, 2), heads=(2, 4), window=4, global_max=2,
+        dtype=jnp.float32, patch_table=table.indices,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, 4, 162)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, sb):
+        out = fused_mssit_train_forward(model, p, x, scan_blocks=sb)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    l_u, g_u = jax.jit(jax.value_and_grad(lambda p: loss(p, False)))(params)
+    l_s, g_s = jax.jit(jax.value_and_grad(lambda p: loss(p, True)))(params)
+    np.testing.assert_allclose(float(l_u), float(l_s), rtol=1e-6)
+    for a, e in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-7)
