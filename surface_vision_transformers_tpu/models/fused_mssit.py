@@ -126,31 +126,58 @@ def _train_block(a, m, folded, heads, dim_head, dt):
     return out[:, :Nf] if pad else out
 
 
-def _train_block_flat(leaves, folded, heads, dim_head):
-    """_train_block on a pre-cast 11-array weight tuple (the lax.scan body
-    slice of the depth-stacked weights — see _stages scan_blocks)."""
+def _flat_block(leaves, folded, heads, dim_head, dt, *, train, quant=None):
+    """_run_block/_train_block on an 11-array UNCAST weight tuple (the
+    lax.scan body slice of the depth-stacked weights — see _stages
+    scan_blocks). Casts exactly as the unrolled runners do: GEMM kernels to
+    the compute dtype (int8 quantizes from the uncast params), norms and
+    biases untouched."""
+    (l1s, l1b, wqkv, wout, bout, l2s, l2b, wfc1, bfc1, wfc2, bfc2) = leaves
     Nf = folded.shape[1]
     pad = (-Nf) % 8
     if pad:
         folded = jnp.pad(folded, [(0, 0), (0, pad), (0, 0)])
-    out = fused_block_train(
-        folded, *leaves, heads, dim_head, Nf if pad else None,
-    )
+    vl = Nf if pad else None
+    if train:
+        out = fused_block_train(
+            folded, l1s, l1b, wqkv.astype(dt), wout.astype(dt), bout,
+            l2s, l2b, wfc1.astype(dt), bfc1, wfc2.astype(dt), bfc2,
+            heads, dim_head, vl,
+        )
+    elif quant == "int8":
+        from surface_vision_transformers_tpu.ops.pallas.fused_block_int8 import (
+            fused_block_int8, quantize_block_weights,
+        )
+
+        (q_qkv, s_qkv, q_out, s_out, q_fc1, s_fc1, q_fc2, s_fc2) = (
+            quantize_block_weights(wqkv, wout, wfc1, wfc2)
+        )
+        out = fused_block_int8(
+            folded, l1s, l1b,
+            q_qkv, s_qkv, q_out, s_out, bout,
+            l2s, l2b, q_fc1, s_fc1, bfc1, q_fc2, s_fc2, bfc2,
+            heads=heads, dim_head=dim_head, valid_len=vl,
+        )
+    else:
+        out = fused_block(
+            folded, l1s, l1b, wqkv.astype(dt), wout.astype(dt), bout,
+            l2s, l2b, wfc1.astype(dt), bfc1, wfc2.astype(dt), bfc2,
+            heads=heads, dim_head=dim_head, valid_len=vl,
+        )
     return out[:, :Nf] if pad else out
 
 
-def _block_leaves(p: dict, s: int, i: int, dt):
-    """The 11 weight arrays of stage-s block-i, cast exactly as _train_block
-    casts them (GEMM kernels to the compute dtype, norms/biases untouched)."""
+def _block_leaves(p: dict, s: int, i: int):
+    """The 11 UNCAST weight arrays of stage-s block-i (see _flat_block)."""
     a = p[f"stage_{s}_block_{i}_attn"]
     m = p[f"stage_{s}_block_{i}_mlp"]
     return (
         a["norm"]["scale"], a["norm"]["bias"],
-        a["to_qkv"]["kernel"].astype(dt),
-        a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+        a["to_qkv"]["kernel"],
+        a["to_out"]["kernel"], a["to_out"]["bias"],
         m["norm"]["scale"], m["norm"]["bias"],
-        m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
-        m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+        m["fc1"]["kernel"], m["fc1"]["bias"],
+        m["fc2"]["kernel"], m["fc2"]["bias"],
     )
 
 
@@ -172,14 +199,11 @@ def _stages(
         # models.fused._scan_block_stack.
         pc = 1 if all(mx == mixes[0] for mx in mixes) else 2
         reps = len(mixes) // pc
-        if (
-            train and scan_blocks and reps > 1
-            and mixes == mixes[:pc] * reps
-        ):
+        if scan_blocks and reps > 1 and mixes == mixes[:pc] * reps:
             stacked = tuple(
                 tuple(
                     jnp.stack([
-                        _block_leaves(p, s, k * pc + j, dt)[mleaf]
+                        _block_leaves(p, s, k * pc + j)[mleaf]
                         for k in range(reps)
                     ])
                     for mleaf in range(11)
@@ -188,10 +212,11 @@ def _stages(
             )
 
             def body(h, layer, *, _w=st["window"], _hs=heads_s, _dh=dh,
-                     _mixes=tuple(mixes[:pc]), _B=B, _T=T):
+                     _mixes=tuple(mixes[:pc]), _B=B, _T=T, _q=q_s):
                 for j, mix in enumerate(_mixes):
                     folded = fold_tokens(h, _w, mix)
-                    out = _train_block_flat(layer[j], folded, _hs, _dh)
+                    out = _flat_block(layer[j], folded, _hs, _dh, dt,
+                                      train=train, quant=_q)
                     h = (
                         unfold_tokens(out, _B, _T, _w, mix)
                         if folded is not h
@@ -247,14 +272,18 @@ def _forward(model: MSSiT, variables, x: jax.Array, *, train: bool,
     return _head(model, p, enc)
 
 
-def fused_mssit_forward(model: MSSiT, variables, x, *, mesh=None, quant=None):
+def fused_mssit_forward(model: MSSiT, variables, x, *, mesh=None, quant=None,
+                        scan_blocks: bool = False):
     """Inference through the megakernel blocks; == model.apply at bf16
     bounds. Under a PURE-DP mesh the whole forward shard_maps over the batch
     axes (params replicated) like models.fused.fused_forward.
     ``quant="int8"``: stages at dim >= INT8_MIN_DIM serve through the W8A8
     megakernel (per-channel int8 weights, per-token dynamic int8
     activations, int32 MXU accumulation); narrower stages stay bf16 —
-    int8 is a measured wash below ~dim 384 (docs/design.md)."""
+    int8 is a measured wash below ~dim 384 (docs/design.md).
+    ``scan_blocks``: per-stage scan over the mix cycle (fewer kernel
+    compiles; ``tpu.scan_blocks``) — int8 stages quantize per scan step
+    from the same uncast weights, identical numerics."""
     if quant not in (None, "int8"):
         raise ValueError(f"unknown quant mode {quant!r}")
     if mesh is not None and mesh.size > 1:
@@ -264,10 +293,12 @@ def fused_mssit_forward(model: MSSiT, variables, x, *, mesh=None, quant=None):
                 "divisible by the data axis; use the modular model"
             )
         return _dp_shard_map(
-            lambda v, xx: _forward(model, v, xx, train=False, quant=quant),
+            lambda v, xx: _forward(model, v, xx, train=False, quant=quant,
+                                   scan_blocks=scan_blocks),
             mesh, variables, x,
         )
-    return _forward(model, variables, x, train=False, quant=quant)
+    return _forward(model, variables, x, train=False, quant=quant,
+                    scan_blocks=scan_blocks)
 
 
 def fused_mssit_train_forward(model: MSSiT, variables, x, *, mesh=None,

@@ -123,6 +123,7 @@ def normalize_tokens(
 # restores linear scaling (B=1024: 51.5 -> 49.9 ms full-model, reaching
 # B=256's per-surface throughput). 128 measured best among {64, 128, 256}.
 _GATHER_CHUNK = 128
+_EMBED_BARRIER_MIN_PATCHES = 4096  # see the barrier note in fused_patch_embed
 
 
 def fused_patch_embed(
@@ -181,6 +182,14 @@ def fused_patch_embed(
 
     def embed_chunk(xc):
         gathered = jnp.take(xc, flat_v, axis=2).reshape(xc.shape[0], C, L, V)
+        if L >= _EMBED_BARRIER_MIN_PATCHES:
+            # at many-patch geometries XLA's gather-into-GEMM fusion codegen
+            # explodes COMPILE time (MS-SiT ico-6 L=20480: 232-1295 s across
+            # sessions vs 0.8 s with the fusion broken; runtime identical,
+            # 1.18 vs 1.20 ms at B=32). Few-patch SiT grids keep the fusion:
+            # it wins there (0.66 vs 1.54 ms at B=256 sub-ico-2) and
+            # compiles in ~1.5 s.
+            gathered = jax.lax.optimization_barrier(gathered)
         return jax.lax.dot_general(
             gathered.astype(compute_dtype), w_cv, (((1, 3), (0, 1)), ((), ()))
         ) + bias_c

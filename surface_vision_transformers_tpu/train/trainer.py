@@ -770,6 +770,7 @@ class Trainer:
                 return fused_mssit_forward(
                     self.model, {"params": params}, batch, mesh=self.mesh,
                     quant=None if quant == "none" else quant,
+                    scan_blocks=self.exp.tpu.scan_blocks,
                 )
             from surface_vision_transformers_tpu.models.fused import fused_forward
 

@@ -204,3 +204,27 @@ def test_scan_blocks_parity_mssit():
                     jax.tree_util.tree_leaves(g_u)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=1e-4, atol=1e-7)
+
+
+def test_scan_blocks_inference_and_int8_parity():
+    """scan_blocks through fused_mssit_forward: bf16-contract parity for the
+    plain path and the int8 path (which quantizes per scan step from the
+    same uncast weights — must match the unrolled quantize-per-block)."""
+    table = G.load_patch_table(ICO, LEVEL)
+    model = MSSiT(
+        ico=ICO, patch_level=LEVEL, num_vertices=6, embed_dim=16,
+        depths=(4, 2), heads=(2, 4), window=4, global_max=2,
+        dtype=jnp.float32, patch_table=table.indices,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((4, 4, 162)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    for quant in (None, "int8"):
+        o_u = jax.jit(lambda p, xx: fused_mssit_forward(
+            model, p, xx, quant=quant, scan_blocks=False))(params, x)
+        o_s = jax.jit(lambda p, xx: fused_mssit_forward(
+            model, p, xx, quant=quant, scan_blocks=True))(params, x)
+        np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_u),
+                                   rtol=1e-4, atol=1e-6)
