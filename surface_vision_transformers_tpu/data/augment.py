@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from surface_vision_transformers_tpu.geometry import rotations as rot
+from surface_vision_transformers_tpu.ops.exact_move import exact_linear_move
 
 
 def _vertex_to_patch_slot(indices: np.ndarray, num_vertices_total: int) -> np.ndarray:
@@ -201,9 +202,16 @@ class SurfaceAugment:
         onehot[
             np.arange(O)[:, None], orients, np.arange(V)[None, :]
         ] = 1.0
-        ys = jnp.einsum(
-            "bclv,ovw->obclw", xg, jnp.asarray(onehot, xp.dtype),
-            preferred_element_type=xp.dtype,
+        # ops.exact_move keeps fp32 data bitwise through the one-hot GEMM
+        # (three bf16 planes): a plain DEFAULT-precision pass would quantize
+        # every rotated value to bf16 on TPU; HIGHEST would pay 6 passes.
+        oh16 = jnp.asarray(onehot, jnp.bfloat16)
+        ys = exact_linear_move(
+            xg,
+            lambda planes: jnp.einsum(
+                "bclv,ovw->obclw", planes, oh16,
+                preferred_element_type=jnp.float32,
+            ),
         )
         osel = jnp.take(jnp.asarray(orient_id), r, axis=0)  # (B, L)
         x = jnp.take_along_axis(

@@ -37,6 +37,7 @@ from surface_vision_transformers_tpu.models.sit import (
     torch_linear_kernel_init,
 )
 from surface_vision_transformers_tpu.ops import (
+    exact_linear_move,
     normalize_tokens,
     patchify,
     rearrange_patched,
@@ -94,15 +95,21 @@ def corrupt_sequence(
         if L <= 512:
             # apply the row permutation as a one-hot batched GEMM: the MXU
             # runs it ~5x faster than XLA's per-sample gather (184 -> 179
-            # ms/step at bs=1024 on v5e), and one-hot matmuls move exact
-            # values, so the result is BITWISE the gather's (pinned by
-            # test). Long sequences keep the gather — the (B, L, L)
-            # one-hot outgrows its win.
-            onehot = jax.nn.one_hot(idx, L, dtype=corrupted.dtype)
-            corrupted = jax.lax.dot_general(
-                onehot, corrupted, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(corrupted.dtype)
+            # ms/step at bs=1024 on v5e), and the result is BITWISE the
+            # gather's (pinned by test): bf16 tokens take one exact pass;
+            # fp32 tokens go through ops.exact_move's three-plane split —
+            # a single DEFAULT-precision pass would silently quantize every
+            # row (including unmasked ones, breaking the never-corrupted
+            # contract) to bf16 on TPU. Long sequences keep the gather —
+            # the (B, L, L) one-hot outgrows its win.
+            onehot = jax.nn.one_hot(idx, L, dtype=jnp.bfloat16)
+            corrupted = exact_linear_move(
+                corrupted,
+                lambda planes: jax.lax.dot_general(
+                    onehot, planes, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ),
+            )
         else:
             corrupted = jnp.take_along_axis(
                 corrupted, idx[:, :, None], axis=1

@@ -2,6 +2,7 @@ from surface_vision_transformers_tpu.ops.attention import (
     multi_head_attention,
     xla_attention,
 )
+from surface_vision_transformers_tpu.ops.exact_move import exact_linear_move
 from surface_vision_transformers_tpu.ops.patchify import (
     fold_normalization,
     normalize_tokens,
@@ -12,6 +13,7 @@ from surface_vision_transformers_tpu.ops.patchify import (
 )
 
 __all__ = [
+    "exact_linear_move",
     "fold_normalization",
     "normalize_tokens",
     "fused_patch_embed",

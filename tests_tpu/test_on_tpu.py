@@ -804,3 +804,71 @@ def test_scan_blocks_stack_bitwise_on_chip():
     for a, e in zip(jax.tree_util.tree_leaves(g_s),
                     jax.tree_util.tree_leaves(g_u)):
         assert (np.asarray(a) == np.asarray(e)).all()
+
+
+def test_onehot_moves_fp32_bitwise_on_chip():
+    """The MPP swap and the rotation augmentation apply permutations as
+    one-hot GEMMs with a BITWISE-equals-gather contract. At fp32 on TPU a
+    plain DEFAULT-precision pass quantizes every moved row to bf16 (the CPU
+    tier's exact dots cannot see it); ops.exact_move's three-bf16-plane
+    split restores exactness at 3 MXU passes. Pin both product paths on
+    compiled XLA:TPU."""
+    from surface_vision_transformers_tpu.models.mpp import corrupt_sequence
+    from surface_vision_transformers_tpu.ops import exact_linear_move
+
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    L, D = 320, 612
+    tokens = jax.random.normal(k1, (4, L, D), jnp.float32)
+    idx = jax.random.randint(k2, (4, L), 0, L)
+
+    # the helper itself, MPP-swap shaped
+    def onehot_move(tokens, idx):
+        oh = jax.nn.one_hot(idx, L, dtype=jnp.bfloat16)
+        return exact_linear_move(
+            tokens,
+            lambda planes: jax.lax.dot_general(
+                oh, planes, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ),
+        )
+
+    moved = jax.jit(onehot_move)(tokens, idx)
+    ref = jax.jit(
+        lambda t, i: jnp.take_along_axis(t, i[:, :, None], axis=1)
+    )(tokens, idx)
+    assert (np.asarray(moved) == np.asarray(ref)).all()
+
+    # the product path: corrupt_sequence's L <= 512 one-hot branch must
+    # leave unmasked fp32 rows bit-untouched on chip (they ride the same
+    # GEMM via self-indices)
+    mask_token = jnp.zeros((1, 1, D), jnp.float32)
+    fast, mask, _ = jax.jit(
+        lambda k, t: corrupt_sequence(
+            k, t, mask_token, mask_prob=0.75, replace_prob=0.8,
+            swap_prob=0.02)
+    )(key, tokens)
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(
+        np.asarray(fast)[~m], np.asarray(tokens)[~m])
+
+    # rotation-shaped einsum (data/augment.py): one-hot over the vertex dim
+    V, O = 153, 6
+    xg = jax.random.normal(k1, (2, 4, 20, V), jnp.float32)
+    orients = jax.random.randint(k2, (O, V), 0, V)
+    onehot = np.zeros((O, V, V), np.float32)
+    onehot[np.arange(O)[:, None], np.asarray(orients), np.arange(V)[None, :]] = 1.0
+    oh16 = jnp.asarray(onehot, jnp.bfloat16)
+
+    ys = jax.jit(lambda x: exact_linear_move(
+        x,
+        lambda planes: jnp.einsum(
+            "bclv,ovw->obclw", planes, oh16,
+            preferred_element_type=jnp.float32,
+        ),
+    ))(xg)
+    # the einsum encodes ys[o, ..., w] = x[..., orients[o, w]]
+    ref_rot = np.stack([
+        np.asarray(xg)[..., np.asarray(orients)[o]] for o in range(O)
+    ])
+    assert (np.asarray(ys) == ref_rot).all()
