@@ -82,6 +82,7 @@ def fused_forward(
     model: SiT, variables, x: jax.Array, *, mesh=None,
     microbatch: int | None = _INFER_MICROBATCH,
     quant: str | None = None,
+    scan_blocks: bool = False,
 ) -> jax.Array:
     """Inference-only forward with fused-block kernels. x: raw (B, C, G) or
     pre-patched (B, C, L, V); returns (B, num_classes).
@@ -102,6 +103,11 @@ def fused_forward(
     head stay bf16/fp32. Serving only; expect W8A8-level logit error (see
     tests/test_int8.py).
 
+    ``scan_blocks``: run the non-final block stack as one lax.scan over
+    depth-stacked weights (bf16 AND int8 paths) — the block kernel compiles
+    once instead of once per layer, mirroring ``fused_train_forward`` /
+    ``fused_mssit_forward``; see ``TPUConfig.scan_blocks``.
+
     The sequence pads to the next SUBLANE multiple (N % 8; 321 -> 328 for
     sub-ico-2) rather than the modular path's lane multiple (384): score
     intermediates are VREG-padded by Mosaic either way, so the smaller pad
@@ -120,7 +126,8 @@ def fused_forward(
             )
         return _dp_shard_map(
             lambda v, xx: fused_forward(
-                model, v, xx, microbatch=microbatch, quant=quant
+                model, v, xx, microbatch=microbatch, quant=quant,
+                scan_blocks=scan_blocks,
             ),
             mesh, variables, x,
         )
@@ -130,7 +137,8 @@ def fused_forward(
         xt = x.reshape(B // microbatch, microbatch, *x.shape[1:])
         out = jax.lax.map(
             lambda c: fused_forward(
-                model, variables, c, microbatch=None, quant=quant
+                model, variables, c, microbatch=None, quant=quant,
+                scan_blocks=scan_blocks,
             ),
             xt,
         )
@@ -165,7 +173,21 @@ def fused_forward(
     cls_last = model.pool == "cls"
     if quant not in (None, "int8"):
         raise ValueError(f"unknown quant mode {quant!r}")
-    for i in range(model.depth):
+    n_plain = model.depth - 1 if cls_last else model.depth
+    if scan_blocks and n_plain > 1:
+        stacked = _stacked_block_weights(
+            enc, range(n_plain), dt, cast=quant != "int8"
+        )
+
+        def body(hh, layer):
+            return _infer_block(layer, hh, model.heads, model.dim_head,
+                                valid, dt, quant=quant), None
+
+        h, _ = jax.lax.scan(body, h, stacked)
+        rest = range(n_plain, model.depth)
+    else:
+        rest = range(model.depth)
+    for i in rest:
         a = enc[f"layers_{i}_attn"]
         m = enc[f"layers_{i}_mlp"]
         if cls_last and i == model.depth - 1:
@@ -364,24 +386,53 @@ def fused_train_forward(
     ].astype(jnp.float32)
 
 
-def _stacked_block_weights(enc, idxs, dt):
+def _stacked_block_weights(enc, idxs, dt, *, cast: bool = True):
     """Depth-stack the 11 per-block weight arrays for ``lax.scan`` over the
     block kernel: each leaf gains a leading len(idxs) axis. Differentiable
-    (the stack's transpose un-stacks cotangents back onto the layer leaves)."""
+    (the stack's transpose un-stacks cotangents back onto the layer leaves).
+    ``cast=False`` stacks the GEMM kernels UNCAST (int8 scan quantizes from
+    the original-precision params, matching the unrolled path)."""
     def leaves(i):
         a = enc[f"layers_{i}_attn"]
         m = enc[f"layers_{i}_mlp"]
+        ct = (lambda w: w.astype(dt)) if cast else (lambda w: w)
         return (
             a["norm"]["scale"], a["norm"]["bias"],
-            a["to_qkv"]["kernel"].astype(dt),
-            a["to_out"]["kernel"].astype(dt), a["to_out"]["bias"],
+            ct(a["to_qkv"]["kernel"]),
+            ct(a["to_out"]["kernel"]), a["to_out"]["bias"],
             m["norm"]["scale"], m["norm"]["bias"],
-            m["fc1"]["kernel"].astype(dt), m["fc1"]["bias"],
-            m["fc2"]["kernel"].astype(dt), m["fc2"]["bias"],
+            ct(m["fc1"]["kernel"]), m["fc1"]["bias"],
+            ct(m["fc2"]["kernel"]), m["fc2"]["bias"],
         )
 
     per_layer = [leaves(i) for i in idxs]
     return tuple(jnp.stack(ws) for ws in zip(*per_layer))
+
+
+def _infer_block(leaves, h, heads: int, dim_head: int, valid, dt, *,
+                 quant: str | None = None):
+    """One inference megakernel block on an 11-leaf weight tuple (the
+    lax.scan body slice of ``_stacked_block_weights``) — bf16 (leaves already
+    cast) or W8A8 (leaves uncast; quantized here like the unrolled path)."""
+    (l1s, l1b, wqkv, wout, bout, l2s, l2b, wfc1, bfc1, wfc2, bfc2) = leaves
+    if quant == "int8":
+        from surface_vision_transformers_tpu.ops.pallas.fused_block_int8 import (
+            fused_block_int8, quantize_block_weights,
+        )
+
+        (q_qkv, s_qkv, q_out, s_out, q_fc1, s_fc1, q_fc2, s_fc2) = (
+            quantize_block_weights(wqkv, wout, wfc1, wfc2)
+        )
+        return fused_block_int8(
+            h, l1s, l1b,
+            q_qkv, s_qkv, q_out, s_out, bout,
+            l2s, l2b, q_fc1, s_fc1, bfc1, q_fc2, s_fc2, bfc2,
+            heads=heads, dim_head=dim_head, valid_len=valid,
+        )
+    return fused_block(
+        h, l1s, l1b, wqkv, wout, bout, l2s, l2b, wfc1, bfc1, wfc2, bfc2,
+        heads=heads, dim_head=dim_head, valid_len=valid,
+    )
 
 
 def _scan_block_stack(h, stacked, heads: int, dim_head: int, valid: int):

@@ -196,10 +196,16 @@ def _stages(
         # cross mix): one scan iteration runs one full cycle, so each stage
         # Mosaic-compiles its kernel pair once per distinct mix instead of
         # once per block. Same bitwise-stack / bf16-glue contract as
-        # models.fused._scan_block_stack.
+        # models.fused._scan_block_stack. Odd-depth alternating stages scan
+        # the largest full-cycle prefix and unroll the remainder blocks
+        # (mirroring fused.py's n_plain scan + cls tail).
         pc = 1 if all(mx == mixes[0] for mx in mixes) else 2
         reps = len(mixes) // pc
-        if scan_blocks and reps > 1 and mixes == mixes[:pc] * reps:
+        tail_off = 0
+        if (
+            scan_blocks and reps > 1
+            and mixes[: pc * reps] == mixes[:pc] * reps
+        ):
             stacked = tuple(
                 tuple(
                     jnp.stack([
@@ -225,10 +231,11 @@ def _stages(
                 return h, None
 
             x, _ = jax.lax.scan(body, x, stacked)
-            mixes = []
+            tail_off = pc * reps
+            mixes = mixes[tail_off:]
         for i, mix in enumerate(mixes):
-            a = p[f"stage_{s}_block_{i}_attn"]
-            m = p[f"stage_{s}_block_{i}_mlp"]
+            a = p[f"stage_{s}_block_{tail_off + i}_attn"]
+            m = p[f"stage_{s}_block_{tail_off + i}_mlp"]
             folded = fold_tokens(x, st["window"], mix)
             if train:
                 out = _train_block(a, m, folded, heads_s, dh, dt)

@@ -21,8 +21,23 @@ bf16 shares fp32's exponent range:
 Each plane moves exactly through one bf16 pass (1.0 * h == h, zeros add
 nothing), and the fp32 re-sum (h1 + h2) + h3 reconstructs v exactly (each
 partial sum has <= 24 significant bits). Three passes total; bf16 inputs
-take the single pass unchanged. Caveat: fp32 values above bf16's max
-(~3.39e38) overflow the h1 cast — real data never lives there.
+take the single pass unchanged.
+
+Caveats (both outside any real data range; pinned with explicit carve-outs
+in tests/test_exact_move.py):
+
+- fp32 values above bf16's max (~3.39e38) overflow the h1 cast.
+- fp32 values whose LOW significand bits fall below fp32's NORMAL floor
+  (2^-126) reconstruct inexactly: XLA (TPU and CPU) flushes subnormal
+  intermediates, so a residual plane that lands subnormal (r1/r2 < 2^-126)
+  flushes to zero and its bits are lost. fp32 subnormals themselves
+  (|v| < 2^-126) and near-min-normal values with set low bits
+  (e.g. 2^-126 * (1 + 2^-23), residual 2^-149) are the failing cases.
+  Exactness holds whenever every needed residual bit is >= 2^-126 — in
+  particular for all |v| >= 2^-103 (~1e-31), and for any smaller value
+  exactly representable in <= 8 significand bits down to bf16's own
+  subnormal floor. The absolute error in the caveat region is < 2^-125
+  (~2.4e-38): at most the flushed subnormal residuals.
 """
 
 from __future__ import annotations

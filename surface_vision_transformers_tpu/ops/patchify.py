@@ -60,7 +60,7 @@ def patchify_chunked(x: jax.Array, indices, chunk: int = 256,
     if n <= chunk:
         return one(x)
     pad = (-n) % chunk
-    xp = jnp.pad(x, [(0, pad), (0, 0), (0, 0)]) if pad else x
+    xp = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)) if pad else x
     xt = xp.reshape((n + pad) // chunk, chunk, *x.shape[1:])
     out = jax.lax.map(one, xt)
     out = out.reshape((n + pad), *out.shape[2:])

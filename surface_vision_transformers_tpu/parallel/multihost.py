@@ -31,16 +31,35 @@ from jax.sharding import Mesh, NamedSharding
 from surface_vision_transformers_tpu.parallel.mesh import batch_pspec
 
 
+_PROBE_WARNED = False
+
+
 def _backends_are_initialized() -> bool:
     """True if any XLA backend is already live. JAX has no public probe that
     doesn't itself initialize a backend (jax.devices() would), so this tries
-    the private helper and FAILS OPEN: without it we skip the refuse-late-init
-    guard and rely on ``jax.distributed.initialize``'s own ordering error."""
+    the private helper (present in jax 0.4.x-0.9.x) and FAILS OPEN: without
+    it we skip the refuse-late-init guard and rely on
+    ``jax.distributed.initialize``'s own ordering error. The degradation is
+    announced once rather than silent, so a JAX upgrade that removes the
+    helper surfaces here instead of as a behavior change."""
+    global _PROBE_WARNED
     try:
         from jax._src import xla_bridge as _xb  # no public equivalent
 
         return bool(_xb.backends_are_initialized())
     except Exception:
+        if not _PROBE_WARNED:
+            _PROBE_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "jax._src.xla_bridge.backends_are_initialized is unavailable "
+                f"under jax {jax.__version__}; the refuse-late-init guard in "
+                "initialize_multihost is disabled (multi-process init errors "
+                "will come from jax.distributed.initialize itself)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return False
 
 

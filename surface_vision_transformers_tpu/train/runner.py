@@ -393,12 +393,28 @@ def _run_training_inner(
     from surface_vision_transformers_tpu.obs.logging import profile_trace
 
     for epoch in range(start_epoch, exp.training.epochs):
+        t_epoch = time.time()
         with profile_trace(run_dir / "profile",
                            enabled=(epoch == exp.tpu.profile_epoch)):
             if streaming:
                 state, m = trainer.train_epoch_streaming(state, train_loader)
             else:
                 state, m = trainer.train_epoch(state, d_train, l_train)
+        if (
+            epoch == start_epoch and progress
+            and not exp.tpu.scan_blocks
+            and time.time() - t_epoch > 60
+        ):
+            # first epoch is dominated by per-layer XLA/Mosaic compiles;
+            # scan_blocks compiles the block stack once (355 s -> 17 s at
+            # SiT-tiny bs=1024) for ~10% steady-state cost — worth
+            # suggesting, not defaulting (docs/design.md)
+            print(
+                f"hint: first epoch took {time.time() - t_epoch:.0f}s, "
+                "mostly compile; `tpu: {scan_blocks: true}` compiles the "
+                "block stack once (~20x faster first epoch, ~10% slower "
+                "steady state)"
+            )
         if not math.isfinite(m.loss):
             raise FloatingPointError(
                 f"non-finite training loss at epoch {epoch}: {m.loss} "

@@ -757,11 +757,40 @@ class Trainer:
             )
         )
 
+    def _resolve_quant(self) -> str | None:
+        """tpu.quant with the measured crossover applied: W8A8 serving only
+        pays off from dim >= INT8_MIN_DIM (SiT-base 1.45-1.47x; SiT-tiny is a
+        wash-to-loss, 22.7k int8 vs 23.3k bf16 surf/s at bs=256 — see
+        BENCH_DETAILS.json inference_int8 / docs/design.md). Below the
+        crossover int8 falls back to bf16 with a one-time notice. MS-SiT
+        applies the same bound per stage inside fused_mssit."""
+        quant = getattr(self.exp.tpu, "quant", "none")
+        if quant == "none":
+            return None
+        from surface_vision_transformers_tpu.models import MSSiT
+        from surface_vision_transformers_tpu.models.fused_mssit import (
+            INT8_MIN_DIM,
+        )
+
+        if isinstance(self.model, MSSiT):
+            return quant  # per-stage dims gated in fused_mssit._stages
+        if self.model.dim < INT8_MIN_DIM:
+            if not getattr(self, "_quant_fallback_warned", False):
+                self._quant_fallback_warned = True
+                print(
+                    f"tpu.quant: int8 requested but dim {self.model.dim} < "
+                    f"{INT8_MIN_DIM}: serving bf16 instead (int8 is a wash "
+                    "below the crossover — SiT-tiny measured 22.7k int8 vs "
+                    "23.3k bf16 surf/s; it wins 1.45x at SiT-base)"
+                )
+            return None
+        return quant
+
     def _infer(self, params, batch):
         if self._use_fused_inference() and self._fused_batch_ok(batch.shape[0]):
             from surface_vision_transformers_tpu.models import MSSiT
 
-            quant = getattr(self.exp.tpu, "quant", "none")
+            quant = self._resolve_quant()
             if isinstance(self.model, MSSiT):
                 from surface_vision_transformers_tpu.models.fused_mssit import (
                     fused_mssit_forward,
@@ -769,14 +798,15 @@ class Trainer:
 
                 return fused_mssit_forward(
                     self.model, {"params": params}, batch, mesh=self.mesh,
-                    quant=None if quant == "none" else quant,
+                    quant=quant,
                     scan_blocks=self.exp.tpu.scan_blocks,
                 )
             from surface_vision_transformers_tpu.models.fused import fused_forward
 
             return fused_forward(
                 self.model, {"params": params}, batch, mesh=self.mesh,
-                quant=None if quant == "none" else quant,
+                quant=quant,
+                scan_blocks=self.exp.tpu.scan_blocks,
             )
         return self.model.apply({"params": params}, batch)
 

@@ -223,7 +223,9 @@ class TPUConfig:
     # cache). The block stack itself is BITWISE the unrolled loop's (pinned
     # on chip); whole training steps agree to bf16 rounding only, because
     # XLA fuses the surrounding glue ops differently between the two
-    # program shapes.
+    # program shapes. Covers SiT AND MS-SiT on the train, inference, and
+    # int8 serving fused paths (runner prints a hint when the first epoch
+    # compile exceeds 60 s).
     scan_blocks: bool = False
     seq_sharding: bool = False  # shard token activations over the model axis
     # serving quantization: 'none' | 'int8' (W8A8 megakernel for evaluation

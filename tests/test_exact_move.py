@@ -36,6 +36,39 @@ def test_plane_split_reconstructs_fp32_bitwise():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(v))
 
 
+def test_tiny_value_caveat_region():
+    """The documented exactness boundary (module docstring): XLA flushes
+    subnormal fp32 intermediates, so values whose residual planes stay
+    fp32-NORMAL (>= 2^-126) reconstruct bitwise — all |v| >= 2^-103 — while
+    below it (fp32 subnormals, near-min-normal values with set low bits)
+    reconstruction is EXPECTED-INEXACT with error < 2^-125."""
+    up = lambda p: p.astype(jnp.float32)
+
+    # exact side: full 24-bit significands down to the documented 2^-103
+    # (residual bit of 2^-103*(1+2^-23) is 2^-126, the last normal fp32)
+    exact = np.float32(1 + 2**-23) * np.logspace(
+        0, -26, 27, base=2.0, dtype=np.float32
+    ) * np.float32(2**-77)  # spans 2^-77 .. 2^-103
+    got = exact_linear_move(jnp.asarray(exact.reshape(3, -1)), up)
+    np.testing.assert_array_equal(np.asarray(got), exact.reshape(3, -1))
+
+    # inexact side (carve-out): residual planes land fp32-subnormal and
+    # flush — 2^-104*(1+2^-23) has residual 2^-127, already gone
+    inexact = np.array(
+        [
+            np.float32(2**-104) * np.float32(1 + 2**-23),
+            np.float32(2**-126) * np.float32(1 + 2**-23),  # 0x00800001
+            np.float32(1e-45),                             # min subnormal
+            np.float32(2**-140),
+        ],
+        dtype=np.float32,
+    )
+    got = np.asarray(exact_linear_move(jnp.asarray(inexact.reshape(1, -1)), up))
+    err = np.abs(got.reshape(-1) - inexact)
+    assert err.max() < 2.0**-125  # bounded exactly as documented
+    assert err.max() > 0  # and genuinely inexact: the caveat is real
+
+
 def test_permutation_move_bitwise_and_bf16_single_plane():
     key = jax.random.PRNGKey(1)
     L, D = 96, 20

@@ -655,6 +655,25 @@ def test_scan_blocks_parity():
                                        rtol=1e-4, atol=1e-7)
 
 
+def test_scan_blocks_inference_parity_sit():
+    """scan_blocks through fused_forward (SiT inference/serving): the
+    scanned non-final block stack must match the unrolled loop for both
+    pools (cls keeps the fused_block_cls tail unrolled) and for the int8
+    path (which quantizes per scan step from the same UNCAST weights the
+    unrolled path quantizes from)."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 320, 153))
+    for pool in ("cls", "mean"):
+        model = SiT(dtype=jnp.float32, pool=pool, **{**CFG, "depth": 4})
+        params = model.init(jax.random.PRNGKey(0), x)
+        for quant in (None, "int8"):
+            o_u = jax.jit(lambda p, xx: fused_forward(
+                model, p, xx, quant=quant, scan_blocks=False))(params, x)
+            o_s = jax.jit(lambda p, xx: fused_forward(
+                model, p, xx, quant=quant, scan_blocks=True))(params, x)
+            np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_u),
+                                       rtol=1e-4, atol=1e-6)
+
+
 def test_scan_blocks_mpp_and_config():
     """scan_blocks through fused_mpp_loss (bitwise loss + grads) and the
     tpu.scan_blocks config key parses into the Trainer's fused path."""

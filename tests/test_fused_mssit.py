@@ -206,6 +206,42 @@ def test_scan_blocks_parity_mssit():
                                    rtol=1e-4, atol=1e-7)
 
 
+def test_scan_blocks_odd_depth_prefix():
+    """Odd-depth alternating stages scan the largest full-cycle PREFIX and
+    unroll the remainder (depth 5 = 2 scanned window/axial cycles + 1
+    unrolled tail block) — previously they silently fell back to fully
+    unrolled. Parity vs the unrolled loop pins both the scan slicing and
+    the tail block's index offset."""
+    table = G.load_patch_table(ICO, LEVEL)
+    model = MSSiT(
+        ico=ICO, patch_level=LEVEL, num_vertices=6, embed_dim=16,
+        depths=(5, 2), heads=(2, 4), window=4, global_max=2,
+        dtype=jnp.float32, patch_table=table.indices,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, 4, 162)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, sb):
+        out = fused_mssit_train_forward(model, p, x, scan_blocks=sb)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    l_u, g_u = jax.jit(jax.value_and_grad(lambda p: loss(p, False)))(params)
+    l_s, g_s = jax.jit(jax.value_and_grad(lambda p: loss(p, True)))(params)
+    np.testing.assert_allclose(float(l_u), float(l_s), rtol=1e-6)
+    for a, e in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-7)
+    o_u = jax.jit(lambda p: fused_mssit_forward(
+        model, p, x, scan_blocks=False))(params)
+    o_s = jax.jit(lambda p: fused_mssit_forward(
+        model, p, x, scan_blocks=True))(params)
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_u),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_scan_blocks_inference_and_int8_parity():
     """scan_blocks through fused_mssit_forward: bf16-contract parity for the
     plain path and the int8 path (which quantizes per scan step from the

@@ -123,10 +123,13 @@ def test_fused_forward_int8_microbatched_matches_single():
     np.testing.assert_allclose(micro, whole, atol=2e-5)
 
 
-def test_config_quant_key_reaches_infer(monkeypatch):
+def test_config_quant_key_reaches_infer(monkeypatch, capsys):
     """tpu.quant: int8 is a validated config key and Trainer._infer threads
     it into fused_forward(quant=...) — the product path (cli.test /
-    run_testing evaluation) reaches the W8A8 kernels from YAML alone."""
+    run_testing evaluation) reaches the W8A8 kernels from YAML alone.
+    Below the measured crossover dim the trainer auto-falls-back to bf16
+    with a one-time notice (int8 is a wash at SiT-tiny — BENCH_DETAILS
+    inference_int8) instead of honoring the key blindly."""
     from surface_vision_transformers_tpu.train import trainer as trainer_mod
     from surface_vision_transformers_tpu.train.trainer import Trainer
     from surface_vision_transformers_tpu.utils.config import from_dict
@@ -156,7 +159,21 @@ def test_config_quant_key_reaches_infer(monkeypatch):
     monkeypatch.setattr(fused_mod, "fused_forward", spy)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 320, 153))
     params = tr.model.init(jax.random.PRNGKey(0), x)["params"]
+
+    # dim 32 < INT8_MIN_DIM: crossover policy serves bf16, says so once
     out = tr._infer(params, x)
+    assert seen["quant"] is None
+    assert "int8" in capsys.readouterr().out
+    tr._infer(params, x)
+    assert capsys.readouterr().out == ""  # notice is one-time
+    assert np.isfinite(np.asarray(out)).all()
+
+    # above the crossover the key reaches the W8A8 kernels unchanged
+    import surface_vision_transformers_tpu.models.fused_mssit as fm
+
+    monkeypatch.setattr(fm, "INT8_MIN_DIM", 1)
+    tr2 = Trainer(exp)
+    out = tr2._infer(params, x)
     assert seen["quant"] == "int8"
     assert np.isfinite(np.asarray(out)).all()
 
