@@ -79,7 +79,7 @@ def one_run(tag: str, compute_dtype: str) -> dict:
     test_raw = dict(raw)
     test_raw["data"] = dict(raw["data"], split="validation")
     test_raw["weights"] = dict(raw.get("weights", {}))
-    test_raw["testing"] = {"ckpt_path": str(results["run_dir"])}
+    test_raw["testing"] = {"path_to_ckpt": str(results["run_dir"])}
     t_exp = from_dict(test_raw)
     t1 = time.time()
     test = runner.run_testing(t_exp)

@@ -63,6 +63,17 @@ class SurfaceAugment:
     # (see _apply_warps). Trades within-batch warp diversity for ~(K-1)/K
     # of the warp cost; rotation diversity is unaffected.
     warp_per_batch: bool = False
+    # 'quota' (default): EXACT-count assignment — exactly round(warp_prob*B)
+    # samples warp per step, split as evenly as possible across the K tables,
+    # positions drawn by a random permutation. Each table then resamples only
+    # a static contiguous slice of the permuted batch, so the whole warp costs
+    # ~1 batch pass instead of K (measured 15.3 -> ~2 ms at bs=256). The
+    # per-sample marginal stays warp_prob/K per table; only the joint law
+    # changes (exact counts instead of multinomial) — the same trade the
+    # reference itself makes for MPP masking (reference models/mpp.py:25-39).
+    # 'multinomial': independent per-sample coin flips + table picks (the
+    # pre-r4 law; computes all K tables on the full batch).
+    warp_assign: str = "quota"
     seed: int = 0
     # atlas geometry override: (verts, faces) of the sphere in the SAME
     # vertex numbering as the patch table / data (e.g. the dHCP ico-6
@@ -197,27 +208,40 @@ class SurfaceAugment:
         xg = jnp.take_along_axis(
             xp, pidx[:, None, :, None], axis=2, mode="promise_in_bounds"
         )
-        # P[o, v, w] = 1 iff dest slot w reads source slot v under orient o
-        onehot = np.zeros((O, V, V), np.float32)
-        onehot[
-            np.arange(O)[:, None], orients, np.arange(V)[None, :]
-        ] = 1.0
-        # ops.exact_move keeps fp32 data bitwise through the one-hot GEMM
-        # (three bf16 planes): a plain DEFAULT-precision pass would quantize
-        # every rotated value to bf16 on TPU; HIGHEST would pay 6 passes.
-        oh16 = jnp.asarray(onehot, jnp.bfloat16)
-        ys = exact_linear_move(
-            xg,
-            lambda planes: jnp.einsum(
-                "bclv,ovw->obclw", planes, oh16,
-                preferred_element_type=jnp.float32,
-            ),
+        # P[o][v, w] = 1 iff dest slot w reads source slot v under orient o.
+        # The identity orientation (always present on canonical tables: the
+        # identity rotation collapses to it) needs no GEMM — its result IS
+        # xg — and the remaining orientations where-select into it, fusing
+        # with the GEMM consumers instead of materializing an O-stacked
+        # fp32 tensor + take_along_axis (measured ~2x on the rotation pass).
+        ident = next(
+            (o for o in range(O)
+             if (orients[o] == np.arange(V, dtype=orients.dtype)).all()),
+            None,
         )
         osel = jnp.take(jnp.asarray(orient_id), r, axis=0)  # (B, L)
-        x = jnp.take_along_axis(
-            ys, osel[None, :, None, :, None], axis=0,
-            mode="promise_in_bounds",
-        )[0]
+        sel = osel[:, None, :, None]  # broadcast over (C, V)
+        x = None
+        for o in range(O):
+            if o == ident:
+                continue
+            onehot = np.zeros((V, V), np.float32)
+            onehot[orients[o], np.arange(V)] = 1.0
+            # ops.exact_move keeps fp32 data bitwise through the one-hot GEMM
+            # (three bf16 planes): a plain DEFAULT-precision pass would
+            # quantize every rotated value to bf16 on TPU; HIGHEST would pay
+            # 6 passes. bf16 data takes the single exact pass.
+            oh16 = jnp.asarray(onehot, jnp.bfloat16)
+            y_o = exact_linear_move(
+                xg,
+                lambda planes, _oh=oh16: jnp.einsum(
+                    "bclv,vw->bclw", planes, _oh,
+                    preferred_element_type=jnp.float32,
+                ),
+            )
+            x = y_o if x is None else jnp.where(sel == o, y_o, x)
+        if ident is not None:
+            x = xg if x is None else jnp.where(sel == ident, xg, x)
 
         warp_idx = getattr(self, "_warp_idx_patched", None)
         if warp_idx is not None and self.warp_prob > 0:
@@ -230,17 +254,22 @@ class SurfaceAugment:
 
     def _apply_warps(self, x, warp_idx, warp_w, k_warp_sel, k_warp_on):
         """Warp selection the TPU-fast way: each of the K warp tables is
-        CONSTANT, so every table applies to the whole batch as 3
+        CONSTANT, so a table applies to a batch (or batch slice) as 3
         static-index gathers (the pattern XLA runs at bandwidth — same as
-        patchify), then each sample block-selects its table. Per-sample
-        dynamic-index gathers (the previous form) ran ~65x slower."""
+        patchify). Per-sample dynamic-index gathers ran ~65x slower.
+
+        'quota' assignment (default): a random permutation routes exactly
+        round(warp_prob*B) samples into static contiguous per-table slices,
+        so the 3 gather legs run once over the warped fraction instead of
+        K times over the whole batch. 'multinomial': the pre-r4 independent
+        per-sample law — all K tables resample the full batch, then each
+        sample where-selects its own."""
         B = x.shape[0]
         K = warp_idx.shape[0]
-        on = jax.random.uniform(k_warp_on, (B,)) < self.warp_prob
 
-        def one_warp(k):
+        def one_warp(xs, k):
             return sum(
-                jnp.take(x, jnp.asarray(warp_idx[k, :, j]), axis=2)
+                jnp.take(xs, jnp.asarray(warp_idx[k, :, j]), axis=2)
                 * jnp.asarray(warp_w[k, :, j], x.dtype)
                 for j in range(3)
             )
@@ -248,17 +277,40 @@ class SurfaceAugment:
         if self.warp_per_batch:
             # one table per step: a K-way lax.switch computes a single
             # warp resampling instead of all K
+            on = jax.random.uniform(k_warp_on, (B,)) < self.warp_prob
             t0 = jax.random.randint(k_warp_sel, (), 0, K)
             warped = jax.lax.switch(
-                t0, [lambda k=k: one_warp(k) for k in range(K)]
+                t0, [lambda k=k: one_warp(x, k) for k in range(K)]
             )
-        else:
-            t = jax.random.randint(k_warp_sel, (B,), 0, K)
-            warped_all = jnp.stack([one_warp(k) for k in range(K)])
-            warped = jnp.take_along_axis(
-                warped_all, t[None, :, None, None], axis=0,
-                mode="promise_in_bounds",
-            )[0]
+            return jnp.where(on[:, None, None], warped, x)
+
+        if self.warp_assign == "quota":
+            m_on = int(round(self.warp_prob * B))
+            if m_on == 0:
+                return x
+            base, rem = divmod(m_on, K)
+            counts = [base + (k < rem) for k in range(K)]
+            perm = jax.random.permutation(k_warp_sel, B)
+            xs = jnp.take(x, perm, axis=0)
+            parts, off = [], 0
+            for k in range(K):
+                if counts[k]:
+                    parts.append(one_warp(xs[off:off + counts[k]], k))
+                    off += counts[k]
+            if off < B:
+                parts.append(xs[off:])
+            ys = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+            return jnp.take(ys, jnp.argsort(perm), axis=0)
+
+        if self.warp_assign != "multinomial":
+            raise ValueError(f"unknown warp_assign {self.warp_assign!r}")
+        on = jax.random.uniform(k_warp_on, (B,)) < self.warp_prob
+        t = jax.random.randint(k_warp_sel, (B,), 0, K)
+        warped_all = jnp.stack([one_warp(x, k) for k in range(K)])
+        warped = jnp.take_along_axis(
+            warped_all, t[None, :, None, None], axis=0,
+            mode="promise_in_bounds",
+        )[0]
         return jnp.where(on[:, None, None], warped, x)
 
     def _apply(self, key, x, perms, warp_idx, warp_w):

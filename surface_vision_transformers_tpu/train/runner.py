@@ -310,6 +310,7 @@ def _run_training_inner(
             max_warp_deg=exp.augment.max_warp_deg,
             warp_prob=exp.augment.warp_prob,
             warp_per_batch=exp.augment.warp_per_batch,
+            warp_assign=exp.augment.warp_assign,
             seed=exp.augment.seed,
             mesh_verts=mesh_verts,
             mesh_faces=mesh_faces,
@@ -562,6 +563,14 @@ def run_testing(
     """Batched inference + metric + results.csv (reference tools/testing.py).
     Regression configs report MAE and write (pred, target) rows; MPP configs
     report the reconstruction loss (no per-sample predictions to export)."""
+    if params is None and not exp.ckpt_path:
+        # evaluating a fresh-init model is never what a user wants; the
+        # reference's test driver hard-requires a checkpoint too
+        # (reference tools/testing.py:68)
+        raise ValueError(
+            "run_testing needs weights: set testing.path_to_ckpt (a run "
+            "dir, Orbax dir, .npz, or reference .pth) or pass params="
+        )
     split = exp.data.split or "validation"
     datasets = datasets or load_datasets(exp, splits=(split,))
     data, labels = datasets[split]

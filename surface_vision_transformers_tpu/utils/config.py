@@ -188,6 +188,11 @@ class AugmentConfig:
     # one warp table per STEP instead of per sample: ~(K-1)/K of the warp
     # cost for less within-batch warp diversity (rotations unaffected)
     warp_per_batch: bool = False
+    # 'quota' (default): exactly round(warp_prob*bs) samples warp per step,
+    # split evenly across tables via a random permutation — each table then
+    # costs a static batch slice (~1 batch pass total). 'multinomial':
+    # independent per-sample draws (K full-batch passes).
+    warp_assign: str = "quota"
     seed: int = 0
     # sphere surface GIFTI (POINTSET+TRIANGLE) giving the vertex coordinates
     # of the DATA's ordering; required when the patch table is in an atlas
@@ -436,6 +441,7 @@ def from_dict(raw: dict) -> Experiment:
         max_warp_deg=float(aug_raw.get("max_warp_deg", 15.0)),
         warp_prob=float(aug_raw.get("warp_prob", 0.5)),
         warp_per_batch=bool(aug_raw.get("warp_per_batch", False)),
+        warp_assign=str(aug_raw.get("warp_assign", "quota")),
         seed=int(aug_raw.get("seed", 0)),
         sphere_path=str(aug_raw.get("sphere_path", "")),
     )
