@@ -57,10 +57,10 @@ def block_weights(dim, heads, dh=32):
 for name, fb, N, dim, heads in STAGES:
     ws = block_weights(dim, heads)
     gflop = 12 * fb * N * dim * dim / 1e9  # useful GEMM FLOPs, fixed
-    for P in (1, 2, 4, 8):
+    for P in (1, 4, 8):
         fbp, Np = fb // P, N * P
         x = (jax.random.normal(KEY, (fbp, Np, dim)) * 0.1).astype(jnp.bfloat16)
-        for G in (None, 8, 16, 32):
+        for G in (None, 16):
             if G is not None and fbp % G:
                 continue
 

@@ -10,12 +10,14 @@ from surface_vision_transformers_tpu.models.mpp import (
     exact_count_mask,
 )
 from surface_vision_transformers_tpu.models.mssit import MSSiT
+from surface_vision_transformers_tpu.models.mpp_mssit import MPPMSSiT
 
 __all__ = [
     "Attention",
     "Encoder",
     "FeedForward",
     "MPP",
+    "MPPMSSiT",
     "MSSiT",
     "SiT",
     "corrupt_sequence",

@@ -308,6 +308,107 @@ def fused_mssit_forward(model: MSSiT, variables, x, *, mesh=None, quant=None,
                     scan_blocks=scan_blocks)
 
 
+def fused_mssit_mpp_loss(mpp, variables, batch, rng, sample_weights=None, *,
+                         mesh=None, scan_blocks: bool = False):
+    """Differentiable masked-window SSL loss over the fused-block stages —
+    functional equivalent of models.mpp_mssit.MPPMSSiT.__call__ (window
+    corruption -> shared embed -> fused stages -> upsampling decoder ->
+    masked MSE) reading the param tree directly. Returns (loss, recon).
+
+    When the corruption window is a multiple of the merge factor ``up``
+    (every final-stage token's finest-grid group falls inside ONE corruption
+    window — true for the shipped ico-6 config, W = up = 64) the loss runs
+    through models.fused._masked_mse_recon, the memory-lean custom-VJP
+    reconstruction head; otherwise the plain XLA expression (autodiff).
+
+    ``mesh``: pure-DP only, like fused_mpp_loss — the stages shard_map over
+    the batch axes, corruption/embed/loss stay global XLA ops."""
+    from surface_vision_transformers_tpu.models.fused import (
+        _masked_mse_recon,
+    )
+    from surface_vision_transformers_tpu.models.mpp_mssit import (
+        corrupt_window_sequence,
+        corruption_window,
+        mssit_target_tokens,
+    )
+
+    if mesh is not None and mesh.size > 1 and not _pure_dp(mesh):
+        raise ValueError(
+            "fused_mssit_mpp_loss under a mesh requires pure DP; use the "
+            "modular MPPMSSiT module"
+        )
+
+    p = variables["params"] if "params" in variables else variables
+    model = mpp.encoder
+    dt = model.dtype
+    patch_dim = model.patch_dim
+
+    target = mssit_target_tokens(model, batch)
+    W = corruption_window(model)
+    corrupted, mask, n_masked = corrupt_window_sequence(
+        rng, target, p["mask_token"],
+        window=W, mask_prob=mpp.mask_prob,
+        replace_prob=mpp.replace_prob, swap_prob=mpp.swap_prob,
+    )
+
+    ep = p["encoder"]
+    tokens = corrupted.astype(dt) @ ep["patch_embedding_kernel"].astype(
+        dt
+    ) + ep["patch_embedding_bias"].astype(dt)
+    tokens = tokens + ep["pos_embedding"].astype(tokens.dtype)
+
+    B = tokens.shape[0]
+    if mesh is not None and mesh.size > 1:
+        if B % mesh.shape["data"]:
+            raise ValueError(
+                "fused_mssit_mpp_loss under a mesh needs the batch divisible "
+                "by the data axis; use the modular MPPMSSiT module"
+            )
+        feats = _dp_shard_map(
+            lambda e, tt: _stages(model, e, tt, train=True,
+                                  scan_blocks=scan_blocks),
+            mesh, ep, tokens,
+        )
+    else:
+        feats = _stages(model, ep, tokens, train=True, scan_blocks=scan_blocks)
+
+    T_last = feats.shape[1]
+    up = model.num_patches // T_last
+    maskw = mask.astype(jnp.float32)
+    if sample_weights is not None:
+        maskw = maskw * sample_weights[:, None]
+        batch_count = jnp.maximum(sample_weights.sum(), 1e-9)
+    else:
+        batch_count = jnp.float32(target.shape[0])
+    inv_denom = 1.0 / (batch_count * n_masked * W * patch_dim)
+
+    k = p["to_original"]["kernel"]
+    b = p["to_original"]["bias"]
+    if W % up == 0:
+        # window-constant mask per final token: fold finest tokens into the
+        # feature axis and reuse the memory-lean recon VJP
+        loss = _masked_mse_recon(
+            dt, feats, k, b,
+            target.reshape(B, T_last, up * patch_dim),
+            maskw.reshape(B, T_last, up)[:, :, 0], inv_denom,
+        )
+    else:
+        recon_f = (
+            jnp.matmul(feats.astype(dt), k.astype(dt),
+                       preferred_element_type=jnp.float32)
+            + b.astype(jnp.float32)
+        ).reshape(B, model.num_patches, patch_dim)
+        d = recon_f - target.astype(jnp.float32)
+        loss = jnp.sum(jnp.square(d) * maskw[:, :, None]) * inv_denom
+    recon = jax.lax.stop_gradient(
+        (
+            feats.astype(jnp.float32) @ k.astype(jnp.float32)
+            + b.astype(jnp.float32)
+        ).reshape(B, model.num_patches, patch_dim)
+    )
+    return loss, recon
+
+
 def fused_mssit_train_forward(model: MSSiT, variables, x, *, mesh=None,
                               scan_blocks: bool = False):
     """DIFFERENTIABLE fused forward: every windowed block runs

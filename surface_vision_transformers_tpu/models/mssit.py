@@ -351,7 +351,12 @@ class MSSiT(nn.Module):
             raise ValueError(f"unknown cross_mix {self.cross_mix!r}")
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 features: bool = False):
+        """``features=True`` returns the final-stage tokens (B, T_last,
+        dim_last) BEFORE head_norm/pooling/head — the SSL decoder input
+        (models/mpp_mssit.py); head params are not created in this mode, so
+        a pretraining checkpoint carries the encoder only."""
         self._validate()
         pe_kernel = self.param(
             "patch_embedding_kernel",
@@ -369,7 +374,7 @@ class MSSiT(nn.Module):
             (self.embed_dim,),
             self.param_dtype,
         )
-        if x.ndim == 3:
+        if x.ndim == 3 and x.shape[-1] != self.patch_dim:
             if self.patch_table is None:
                 raise ValueError("raw (B, C, G) input requires patch_table")
             tokens = fused_patch_embed(
@@ -382,8 +387,12 @@ class MSSiT(nn.Module):
                 backend="xla" if self.batch_mesh is not None else self.patch_backend,
                 compute_dtype=self.dtype,
             )
-        elif x.ndim == 4:
-            t = rearrange_patched(x).astype(self.dtype)
+        elif x.ndim == 4 or x.shape[-1] == self.patch_dim:
+            # 4-D pre-patched (B, C, T, V), or already-flattened patch
+            # tokens (B, T, C*V) — the MPP corruption path feeds the latter
+            # (unambiguous vs raw (B, C, G): G = 10*4^ico + 2 != C*V)
+            t = rearrange_patched(x) if x.ndim == 4 else x
+            t = t.astype(self.dtype)
             tokens = (
                 jnp.dot(t, pe_kernel.astype(self.dtype), precision=self.precision)
                 + pe_bias.astype(self.dtype)
@@ -442,6 +451,8 @@ class MSSiT(nn.Module):
             if s < self.num_stages - 1:
                 x = MergeMod(dim=dim_s, name=f"stage_{s}_merge", **common)(x)
 
+        if features:
+            return x
         x = nn.LayerNorm(
             epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
             name="head_norm",

@@ -144,22 +144,31 @@ class Trainer:
                 )
         self.model = model
         self.task = "mpp" if exp.is_pretraining else "regression"
-        if self.task == "mpp" and not isinstance(self.model, SiT):
-            raise ValueError(
-                "MPP pretraining is defined for the SiT family (the MPP head "
-                "reconstructs FINEST-grid patches through the shared SiT "
-                "embedding, reference models/mpp.py:77-132); MS-SiT's merged "
-                "multiscale tokens have no such inverse — use supervised "
-                "training for MS-SiT"
-            )
         if self.task == "mpp":
             m = exp.mpp
-            self.mpp = MPP(
-                encoder=self.model,
-                mask_prob=m.mask_prob,
-                replace_prob=m.replace_prob,
-                swap_prob=m.swap_prob,
-            )
+            if isinstance(self.model, SiT):
+                # reference MPP: per-token BERT corruption + linear recon
+                # through the shared embedding (reference models/mpp.py:77-132)
+                self.mpp = MPP(
+                    encoder=self.model,
+                    mask_prob=m.mask_prob,
+                    replace_prob=m.replace_prob,
+                    swap_prob=m.swap_prob,
+                )
+            else:
+                # MS-SiT: the merged multiscale tokens have no per-token
+                # inverse, so SSL is masked-WINDOW reconstruction through an
+                # upsampling decoder (models/mpp_mssit.py, SimMIM-style)
+                from surface_vision_transformers_tpu.models.mpp_mssit import (
+                    MPPMSSiT,
+                )
+
+                self.mpp = MPPMSSiT(
+                    encoder=self.model,
+                    mask_prob=m.mask_prob,
+                    replace_prob=m.replace_prob,
+                    swap_prob=m.swap_prob,
+                )
         else:
             self.mpp = None
         from surface_vision_transformers_tpu.parallel.pipeline import pipe_size
@@ -411,11 +420,18 @@ class Trainer:
                 and self._use_fused_train()
                 and self._fused_batch_ok(batch.shape[0])
             ):
-                from surface_vision_transformers_tpu.models.fused import (
-                    fused_mpp_loss,
-                )
+                from surface_vision_transformers_tpu.models import MSSiT
 
-                loss, _ = fused_mpp_loss(
+                if isinstance(self.model, MSSiT):
+                    from surface_vision_transformers_tpu.models.fused_mssit import (
+                        fused_mssit_mpp_loss as _fused_mpp,
+                    )
+                else:
+                    from surface_vision_transformers_tpu.models.fused import (
+                        fused_mpp_loss as _fused_mpp,
+                    )
+
+                loss, _ = _fused_mpp(
                     self.mpp, {"params": params}, batch, rng,
                     sample_weights=weights, mesh=self.mesh,
                     scan_blocks=self.exp.tpu.scan_blocks,

@@ -250,12 +250,17 @@ def test_runner_trains_mssit_sharded_parity(tmp_path, rng):
     assert abs(base["best_mae"] - shard["best_mae"]) < 1e-3, (base, shard)
 
 
-def test_mpp_with_mssit_rejected():
+def test_mpp_with_mssit_builds_window_ssl(table):
+    """MS-SiT pretraining routes to the masked-window SSL module (r3 gap:
+    the family used to hard-error on the MPP workflow; full coverage in
+    tests/test_mpp_mssit.py)."""
+    from surface_vision_transformers_tpu.models import MPPMSSiT
     from surface_vision_transformers_tpu.train.trainer import Trainer
 
     raw = _mssit_raw(SSL="mpp")
-    with pytest.raises(ValueError, match="MPP.*SiT family"):
-        Trainer(from_dict(raw))
+    t = Trainer(from_dict(raw), patch_table=table.indices)
+    assert t.task == "mpp"
+    assert isinstance(t.mpp, MPPMSSiT)
 
 
 def test_checkpoint_roundtrip(model, params, tmp_path, rng):
