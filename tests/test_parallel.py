@@ -559,14 +559,17 @@ def test_run_testing_pure_dp_fused(data, tmp_path, monkeypatch):
         "data": {"split": "validation"},
         "logging": {"folder_to_save_model": str(tmp_path)},
     }
-    base = runner.run_testing(
-        from_dict({**raw, "tpu": {"compute_dtype": "float32",
-                                  "mesh_data": 1}}),
-        datasets=datasets,
-    )
+    # run_testing hard-requires weights (reference tools/testing.py:68);
+    # build one deterministic param set and score it under both meshes.
+    exp_base = from_dict({**raw, "tpu": {"compute_dtype": "float32",
+                                         "mesh_data": 1}})
+    t0 = trainer_mod.Trainer(exp_base)
+    params = jax.tree.map(np.asarray, t0.init_state(d_np[:1]).params)
+    base = runner.run_testing(exp_base, datasets=datasets, params=params)
     res = runner.run_testing(
         from_dict({**raw, "tpu": {"compute_dtype": "float32",
                                   "mesh_data": -1}}),
         datasets=datasets,
+        params=params,
     )
     assert abs(res["mae"] - base["mae"]) < 1e-4, (res, base)
