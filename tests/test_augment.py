@@ -121,6 +121,122 @@ def test_warp_per_batch_uses_one_table():
     assert len(used) == 1, used  # one shared table per batch
 
 
+def _per_table_warps(aug, x):
+    """Reference per-table warp of the FULL batch (3 static gathers each)."""
+    return [
+        np.asarray(sum(
+            jnp.take(x, jnp.asarray(aug._warp_idx[k, :, j]), axis=2)
+            * jnp.asarray(aug._warp_w[k, :, j], x.dtype)
+            for j in range(3)
+        ))
+        for k in range(aug.num_warps)
+    ]
+
+
+def test_quota_exact_count_and_even_split():
+    """warp_assign='quota' (the default law): EXACTLY round(warp_prob*B)
+    samples warp on every step, split base+(k<rem) across the K tables —
+    the exact-count trade the reference itself makes for MPP masking
+    (reference models/mpp.py:25-39)."""
+    B, K, p = 10, 3, 0.7  # m_on = 7 -> counts [3, 2, 2] (rem path)
+    aug = SurfaceAugment(ico=ICO, exact_rotations=False, num_warps=K,
+                         warp_prob=p, warp_assign="quota", seed=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, 2, 642))
+    per_table = _per_table_warps(aug, x)
+    xr = np.asarray(x)
+    m_on = round(p * B)
+    base, rem = divmod(m_on, K)
+    expect_counts = [base + (k < rem) for k in range(K)]
+    for trial in range(5):
+        out = np.asarray(aug(jax.random.PRNGKey(100 + trial), x))
+        counts = [0] * K
+        n_unwarped = 0
+        for b in range(B):
+            if np.allclose(out[b], xr[b], atol=1e-6):
+                n_unwarped += 1
+                continue
+            ms = [k for k in range(K)
+                  if np.allclose(out[b], per_table[k][b], atol=1e-5)]
+            assert len(ms) == 1, (b, ms)
+            counts[ms[0]] += 1
+        assert n_unwarped == B - m_on, (trial, n_unwarped)
+        assert counts == expect_counts, (trial, counts)
+
+
+def test_quota_multinomial_marginals_agree():
+    """The quota law keeps the per-sample marginal P(warp)=warp_prob and the
+    per-(sample, table) marginal warp_prob/K of the pre-r4 'multinomial'
+    law; only the joint law changes (exact counts)."""
+    B, K, p = 8, 2, 0.5  # p*B integer -> quota marginal is exactly p
+    n_trials = 150
+    freqs = {}
+    for law in ("quota", "multinomial"):
+        aug = SurfaceAugment(ico=ICO, exact_rotations=False, num_warps=K,
+                             warp_prob=p, warp_assign=law, seed=3)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, 2, 642))
+        per_table = _per_table_warps(aug, x)
+        xr = np.asarray(x)
+        warp_n = np.zeros(B)
+        table_n = np.zeros(K)
+        for t in range(n_trials):
+            out = np.asarray(aug(jax.random.PRNGKey(1000 + t), x))
+            for b in range(B):
+                if np.allclose(out[b], xr[b], atol=1e-6):
+                    continue
+                warp_n[b] += 1
+                ms = [k for k in range(K)
+                      if np.allclose(out[b], per_table[k][b], atol=1e-5)]
+                table_n[ms[0]] += 1
+        freqs[law] = (warp_n / n_trials, table_n / (n_trials * B))
+    for law, (wf, tf) in freqs.items():
+        np.testing.assert_allclose(wf, p, atol=0.14, err_msg=law)
+        np.testing.assert_allclose(tf, p / K, atol=0.1, err_msg=law)
+
+
+def test_identity_skip_matches_ostacked_select():
+    """The r4 identity-skip rotation select (identity orientation reuses the
+    block-gather result; others where-select in) is BITWISE-equal to the
+    pre-r4 law: every orientation through the exact one-hot GEMM, O-stacked,
+    then take_along_axis."""
+    from surface_vision_transformers_tpu.ops.exact_move import exact_linear_move
+
+    table = load_patch_table(ICO, 1)  # canonical ordering (generated)
+    aug = SurfaceAugment(ico=ICO, patch_table=table.indices, num_warps=0,
+                         seed=0)
+    assert aug._structured is not None
+    rot_patch, orient_id, orients = aug._structured
+    O, V = orients.shape
+    raw = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (4, 2, 642)))
+    x4 = jnp.asarray(raw[:, :, np.asarray(table.indices)])  # (4, 2, L, V)
+    key = jax.random.PRNGKey(7)
+    fast = np.asarray(aug._apply_structured(key, x4))
+
+    k_rot, _, _ = jax.random.split(key, 3)
+    r = jax.random.randint(k_rot, (4,), 0, rot_patch.shape[0])
+    pidx = jnp.take(jnp.asarray(rot_patch), r, axis=0)
+    xg = jnp.take_along_axis(x4, pidx[:, None, :, None], axis=2,
+                             mode="promise_in_bounds")
+    ys = []
+    for o in range(O):
+        onehot = np.zeros((V, V), np.float32)
+        onehot[orients[o], np.arange(V)] = 1.0
+        oh16 = jnp.asarray(onehot, jnp.bfloat16)
+        ys.append(exact_linear_move(
+            xg,
+            lambda planes, _oh=oh16: jnp.einsum(
+                "bclv,vw->bclw", planes, _oh,
+                preferred_element_type=jnp.float32,
+            ),
+        ))
+    stacked = jnp.stack(ys)  # (O, B, C, L, V)
+    osel = jnp.take(jnp.asarray(orient_id), r, axis=0)  # (B, L)
+    old = jnp.take_along_axis(
+        stacked, osel[None, :, None, :, None], axis=0,
+        mode="promise_in_bounds",
+    )[0]
+    np.testing.assert_array_equal(fast, np.asarray(old))
+
+
 def test_augment_preserves_statistics():
     aug = SurfaceAugment(ico=ICO, num_warps=0, warp_prob=0.0, seed=0)
     x = jax.random.normal(jax.random.PRNGKey(0), (8, 2, 642))
