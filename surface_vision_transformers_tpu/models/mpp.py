@@ -85,7 +85,9 @@ def corrupt_sequence(
     corrupted = tokens
 
     if swap_prob > 0:
-        swap_rate = swap_prob / (1.0 - replace_prob)
+        # clamp: replace_prob == 1.0 is config-reachable and would divide by
+        # zero; every masked token gets the mask token afterwards anyway
+        swap_rate = swap_prob / max(1.0 - replace_prob, 1e-9)
         swap_sel = jax.random.uniform(k_swapsel, (B, L)) < swap_rate
         swap_sel = jnp.logical_and(mask, swap_sel)
         rand_idx = jax.random.randint(k_swapidx, (B, L), 0, L)

@@ -9,9 +9,13 @@ the multiscale family an SSL objective that fits the hierarchy instead:
   * **Corruption is window-granular at the finest grid.** The unit of
     masking is a stage-0 attention window (a contiguous run of ``W`` sibling
     patches under one ancestor face — a pure reshape, like everything else
-    in MS-SiT). Masking whole windows prevents the trivial leak where a
-    masked token is reconstructed from its unmasked neighbors inside the
-    same local-attention window. The corruption law mirrors the SiT MPP /
+    in MS-SiT). Masking whole windows prevents the FIRST-BLOCK intra-window
+    leak (a masked token reconstructed from unmasked neighbors inside the
+    same local-attention window); later axial cross-window blocks, merged
+    stages, and global stage-0 attention (when ``num_patches <=
+    global_max``) still mix masked windows with unmasked content — the
+    standard (and intended) context path of masked-image modelling, not a
+    guarantee of isolation. The corruption law mirrors the SiT MPP /
     BERT recipe at window granularity: exactly ``ceil(mask_prob * nW)``
     windows per sample are selected (exact-count top-k, static shapes), of
     which ``replace_prob`` become a learned mask token, a
@@ -90,7 +94,11 @@ def corrupt_window_sequence(
     wmask, n_masked = exact_count_mask(k_mask, B, nW, mask_prob)
     wins = target.reshape(B, nW, W * P)
     if swap_prob > 0:
-        swap_rate = swap_prob / (1.0 - replace_prob)
+        # replace_prob == 1.0 would divide by zero (reference recipe keeps
+        # replace < 1 when swap > 0); clamp — every masked window is
+        # replaced by the mask token afterwards anyway, so the swap outcome
+        # is unobservable at that point
+        swap_rate = swap_prob / max(1.0 - replace_prob, 1e-9)
         swap_sel = jnp.logical_and(
             wmask, jax.random.uniform(k_swapsel, (B, nW)) < swap_rate
         )
@@ -206,6 +214,13 @@ class MPPMSSiT(nn.Module):
             batch_count = target.shape[0]
         if n_masked is not None:
             denom = batch_count * n_masked * W * patch_dim
+        elif sample_weights is not None:
+            # fixed-mask hook with weights: weight each sample's masked-token
+            # count so the normalization matches the random path's
+            # batch_count * n_masked (mask rows may differ per sample here)
+            denom = jnp.maximum(
+                (sample_weights[:, None] * mask).sum() * patch_dim, 1e-9
+            )
         else:
             denom = jnp.maximum(mask.sum() * patch_dim, 1)
         loss = masked_err.sum() / denom

@@ -349,6 +349,18 @@ class MSSiT(nn.Module):
                 raise ValueError(f"stage {s}: dim {d} not divisible by heads {hd}")
         if self.cross_mix not in ("axial", "parent", "none"):
             raise ValueError(f"unknown cross_mix {self.cross_mix!r}")
+        if self.patch_table is not None:
+            # 3-D input dispatch (raw (B, C, G) vs flattened (B, T, C*V)
+            # tokens) keys on the last dim: refuse configs where the two
+            # shapes would be indistinguishable instead of silently
+            # misrouting raw input through the token branch
+            G = int(np.asarray(self.patch_table).max()) + 1
+            if G == self.patch_dim:
+                raise ValueError(
+                    f"ambiguous input dispatch: raw vertex count G={G} "
+                    f"equals patch_dim C*V={self.patch_dim}; feed "
+                    "pre-patched (B, C, T, V) input or drop patch_table"
+                )
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True,

@@ -132,6 +132,19 @@ class MPPConfig:
     # them by default and keep a switch for strict recipe reproduction.
     optimize_decoder: bool = True
 
+    def __post_init__(self):
+        for k in ("mask_prob", "replace_prob", "swap_prob"):
+            v = getattr(self, k)
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"pretraining_mpp.{k} must be in [0, 1]")
+        if self.swap_prob > 0 and self.replace_prob >= 1.0:
+            # swap rate is swap_prob/(1-replace_prob) (reference
+            # models/mpp.py:91-92): at replace_prob 1.0 every masked token
+            # becomes the mask token and the swap fraction is undefined
+            raise ValueError(
+                "pretraining_mpp.swap_prob > 0 requires replace_prob < 1"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainingConfig:
