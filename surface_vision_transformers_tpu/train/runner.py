@@ -255,6 +255,11 @@ def _run_training_inner(
     if exp.tpu.debug_nans:
         jax.config.update("jax_debug_nans", True)
     t_start = time.time()
+    # per-phase wall-time breakdown (recorded into the results dict and
+    # hparams_results.yml): the product path must account for its time —
+    # round 4 shipped a 20-60x bench-vs-recipe gap nobody could explain
+    phases = {k: 0.0 for k in ("setup", "data_upload", "first_epoch",
+                               "train", "val", "ckpt", "test")}
     datasets = datasets or load_datasets(exp)
     train_data, train_labels = datasets["train"]
     val_data, val_labels = datasets.get("validation", (None, None))
@@ -343,10 +348,13 @@ def _run_training_inner(
         d_train = l_train = d_val = l_val = None
     else:
         train_loader = val_loader = None
+        t_up = time.time()
         d_train = _device_put(exp, train_data, mesh)
         l_train = _device_put(exp, train_labels, mesh) if train_labels is not None else None
         d_val = _device_put(exp, val_data, mesh) if val_data is not None else None
         l_val = _device_put(exp, val_labels, mesh) if val_labels is not None else None
+        jax.block_until_ready(d_train)
+        phases["data_upload"] = time.time() - t_up
 
     best = math.inf
     best_epoch = -1
@@ -393,6 +401,7 @@ def _run_training_inner(
 
     from surface_vision_transformers_tpu.obs.logging import profile_trace
 
+    phases["setup"] = time.time() - t_start - phases["data_upload"]
     for epoch in range(start_epoch, exp.training.epochs):
         t_epoch = time.time()
         with profile_trace(run_dir / "profile",
@@ -401,6 +410,8 @@ def _run_training_inner(
                 state, m = trainer.train_epoch_streaming(state, train_loader)
             else:
                 state, m = trainer.train_epoch(state, d_train, l_train)
+        dt_epoch = time.time() - t_epoch
+        phases["first_epoch" if epoch == start_epoch else "train"] += dt_epoch
         if (
             epoch == start_epoch and progress
             and not exp.tpu.scan_blocks
@@ -431,16 +442,19 @@ def _run_training_inner(
             or epoch == exp.training.epochs - 1
         )
         if run_val:
+            t_val = time.time()
             if streaming:
                 vm, preds = trainer.evaluate_streaming(state, val_loader)
             else:
                 vm, preds = trainer.evaluate(state, d_val, l_val)
+            phases["val"] += time.time() - t_val
             logger.log(epoch, vm.as_dict(), prefix="val/")
             score = getattr(vm, metric_name)
             if progress:
                 print(f"epoch {epoch}: val {metric_name} {score:.5f}")
             if score < best:
                 best, best_epoch = score, epoch
+                t_ck = time.time()
                 if exp.training.save_ckpt:
                     orbax_io.save_state(
                         run_dir / "best",
@@ -464,6 +478,7 @@ def _run_training_inner(
                         )
                 if not is_mpp and preds is not None:
                     _write_preds_csv(run_dir / "preds.csv", preds, val_labels)
+                phases["ckpt"] += time.time() - t_ck
 
         if (
             exp.training.ckpt_every
@@ -472,12 +487,15 @@ def _run_training_inner(
         ):
             # rolling preemption checkpoint; run_training(resume_from=...)
             # picks it up with the epoch counter and best-so-far intact
+            t_ck = time.time()
             orbax_io.save_state(
                 run_dir / "last", state,
                 {"epoch": epoch, "best": float(best),
                  "best_epoch": int(best_epoch)},
             )
+            phases["ckpt"] += time.time() - t_ck
 
+    t_ck = time.time()
     if exp.training.save_ckpt:
         # final state is always recoverable, validation split or not
         # (the reference's pretrain saves final ckpts too,
@@ -504,6 +522,7 @@ def _run_training_inner(
                  "best_epoch": -1},
             )
 
+    phases["ckpt"] += time.time() - t_ck
     results = {
         f"best_{metric_name}": float(best),
         "best_epoch": int(best_epoch),
@@ -519,6 +538,7 @@ def _run_training_inner(
     if exp.training.testing and "test" in datasets:
         # the reference tests the BEST checkpoint, not the final state
         # (tools/train.py:378-435 rebuilds the model and reloads best)
+        t_test = time.time()
         test_state = state
         if exp.training.save_ckpt and best_epoch >= 0:
             test_state, _ = orbax_io.restore_state(run_dir / "best", state)
@@ -547,7 +567,9 @@ def _run_training_inner(
         results["test_mae" if not is_mpp else "test_loss"] = float(
             tm.mae if not is_mpp else tm.loss
         )
+        phases["test"] = time.time() - t_test
 
+    results["phases_s"] = {k: round(v, 2) for k, v in phases.items()}
     dump_config_with_results(exp, results, run_dir / "hparams_results.yml")
     logger.close()
     return results

@@ -916,7 +916,38 @@ def test_recipe_exact_epochs_on_chip(tmp_path):
     assert results["training_finished"]
     assert np.isfinite(results["best_mae"])
     run_dir = Path(results["run_dir"])
-    assert (run_dir / "results.yml").exists()
+    assert (run_dir / "hparams_results.yml").exists()
+    assert (run_dir / "preds.csv").exists()
+    # the per-phase wall-time breakdown the runner records (VERDICT r4 #3)
+    assert set(results["phases_s"]) >= {"first_epoch", "train", "val", "ckpt"}
+
+
+def test_serving_artifact_fused_roundtrip(flagship, tmp_path):
+    """The DEFAULT --serve export on TPU: the fused Mosaic megakernel step
+    serialized via jax.export, deserialized like a deployment would, and run
+    against the in-framework fused_forward on the same batch (reference
+    deployment entry point tools/testing.py:53-101). This is the artifact a
+    TPU deployment actually ships — the CPU tier only covers fused=False."""
+    from surface_vision_transformers_tpu.serving import (
+        export_serving, load_serving,
+    )
+
+    model32, model16, params, x = flagship
+    meta = export_serving(model16, params["params"], tmp_path,
+                          batch_sizes=(8,))
+    assert meta["numerics"] == "bf16-fused"
+    assert meta["platforms"] == ["tpu"]
+
+    fn, info = load_serving(tmp_path, 8)
+    xb = x[:8].astype(jnp.bfloat16)
+    got = np.asarray(fn(xb), np.float32)
+    want = np.asarray(
+        jax.jit(lambda p, xx: fused_forward(model16, p, xx))(params, xb),
+        np.float32,
+    )
+    assert np.isfinite(got).all()
+    rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-9)
+    assert rel < 1e-3, (rel, got[:3].ravel(), want[:3].ravel())
 
 
 def test_mssit_ssl_pretrain_on_chip():
