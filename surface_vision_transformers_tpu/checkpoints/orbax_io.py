@@ -23,9 +23,30 @@ def _abs(path) -> str:
     return str(Path(path).resolve())
 
 
+def fetch_tree(tree: Any) -> Any:
+    """Device->host copy of a pytree with PIPELINED transfers: start the
+    async host copy of every leaf first, then materialize. Leaf-by-leaf
+    ``np.asarray`` pays one relay round-trip per array (~60 ms x ~130
+    leaves ≈ 8 s per checkpoint on this host); pipelined it is ~one."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:  # non-addressable/committed arrays: sync path
+                pass
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [np.asarray(l) if isinstance(l, jax.Array) else l for l in leaves],
+    )
+
+
 def save_state(path: str | os.PathLike, state: Any, metadata: dict | None = None):
     """Save a pytree (e.g. TrainState) + JSON metadata to ``path``."""
     path = Path(_abs(path))
+    # hand orbax a host tree: its own per-leaf device fetches serialize on
+    # the relay (see fetch_tree)
+    state = fetch_tree(state)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "state", state, force=True)
     if metadata is not None:
@@ -48,6 +69,7 @@ def restore_state(path: str | os.PathLike, template: Any) -> tuple[Any, dict]:
 
 def save_params_npz(path: str | os.PathLike, params: Any) -> None:
     """Portable flat-npz export of a param tree (no orbax needed to read)."""
+    params = fetch_tree(params)
     flat = {}
     for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         name = "/".join(

@@ -78,7 +78,7 @@ _BWD_CACHE = None
 _GROUP_VMEM_BUDGET = 72 * 1024 * 1024
 
 
-def _auto_group(dim: int, bwd: bool = False) -> int:
+def _auto_group(dim: int, bwd: bool = False, n: int | None = None) -> int:
     """Measured flattened-group defaults (v5e, scripts/exp_group_by_shape.py):
     fwd ms/block at B=256, N=328 —
       dim 192 (tiny):  G=2 0.947, G=4 0.937, G=8 0.899  -> 8
@@ -88,7 +88,26 @@ def _auto_group(dim: int, bwd: bool = False) -> int:
     dims cap at 2 (the per-(sample, head) cached (Np, Np) fp32 prob tiles
     scale with G*heads and spill VMEM). The result is additionally clamped
     by a VMEM working-set estimate (_clamp_group) for shapes beyond the
-    measured set."""
+    measured set.
+
+    ``n``: per-sample window length when known. SHORT windows (MS-SiT's
+    folded N=64, scripts/exp_mssit_group_sweep.py) want much larger groups
+    than the N=328 defaults — per-sample working sets are ~5x smaller and
+    the per-program GEMM M would otherwise sit far below the MXU tile:
+    fwd ms/block at the ico-6 shapes (G=None -> with the N-aware pick) —
+      dim  96 (s0): 4.99 -> 4.75 (G=16)     dim 384 (s2): 1.41 -> 1.17 (G=16)
+      dim 192 (s1): 2.43 -> 2.43 (G=None)   dim 768 (s3): 0.84 -> 0.63 (G=32)
+    backward: dim 768 4.14 -> 3.68 (G=32), dim <= 192 keep 8/4."""
+    if n is not None and n <= 64:
+        if bwd:
+            if dim > 512:
+                return 32
+            return 16 if 96 < dim <= 256 else 8
+        if dim > 512:
+            return 32
+        if dim > 256:
+            return 16
+        return 16 if dim <= 96 else 8
     if bwd:
         return 4 if dim <= 256 else 2
     return 2 if 256 < dim <= 512 else 8
@@ -161,6 +180,14 @@ def _block_kernel(
     ).astype(x.dtype)  # (G*Np, 3*hd), [q|k|v] lanes
 
     attn_rows = []
+    # NOTE (r5, negative result worth keeping): batching all heads of a
+    # sample into one score GEMM + one PV GEMM against BLOCK-DIAGONAL K/V
+    # wins 1.4-2.1x when the attention runs as a standalone kernel at the
+    # MS-SiT folded shapes (N=64), but LOSES 10-110% inside this fused
+    # block at every stage (s0 4.75 -> 5.34, s3 0.63 -> 1.34 ms/block on
+    # chip) — Mosaic already overlaps the per-(g, h) loop with the
+    # surrounding GEMMs, and the (Np, heads*Np) buffers break that
+    # schedule. The per-head loop stays.
     for g in range(group):
         qkv_g = qkv[g * np_:(g + 1) * np_]
         outs = []
@@ -250,7 +277,7 @@ def fused_block(
     # large G on a big shape must degrade to a smaller G, not fail Mosaic
     # compilation against vmem_limit_bytes
     G = _fit_group(_clamp_group(
-        group or _auto_group(dim), N, dim, w_fc1.shape[1], w_qkv.shape[1]
+        group or _auto_group(dim, n=N), N, dim, w_fc1.shape[1], w_qkv.shape[1]
     ), B)
 
     def vec(v):  # 1-D params as (1, dim) VMEM rows
@@ -521,7 +548,7 @@ def _block_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     # explicit group (incl. the _BWD_GROUP sweep override) is budget-clamped
     # like the forward (ADVICE r2)
     G = _fit_group(_clamp_group(
-        group or _auto_group(dim, bwd=True), N, dim, mlp, 3 * hd,
+        group or _auto_group(dim, bwd=True, n=N), N, dim, mlp, 3 * hd,
         heads=heads, bwd=True,
     ), B)
 
@@ -819,7 +846,7 @@ def _split_groups(N: int, dim: int, mlp: int, hd: int, heads: int,
     """(G_mlp, G_attn) for the split backward: start from the backward
     default and clamp each kernel against ITS OWN accumulator + working
     set (each holds one branch only)."""
-    g0 = _auto_group(dim, bwd=True)
+    g0 = _auto_group(dim, bwd=True, n=N)
     per_m = N * (mlp * 12 + dim * 16)  # h2/f1/gl/dgl/df1 (f32) + x1/g tiles
     acc_m = 2 * dim * mlp * 4
     gm = g0
@@ -1376,7 +1403,7 @@ def fused_block_cls(
     hd = heads * dim_head
     # explicit group clamped like fused_block (ADVICE r2)
     G = _fit_group(_clamp_group_cls(
-        group or _auto_group(dim), N, dim, 3 * hd
+        group or _auto_group(dim, n=N), N, dim, 3 * hd
     ), B)
 
     def vec(v):
@@ -1589,7 +1616,7 @@ def _block_cls_bwd(x, g, ln1_scale, ln1_bias, w_qkv, w_out, b_out,
     # fp32 gradient tiles still apply, so the conservative bwd rule picks
     # the base G and the cls-specific estimate clamps it
     G = _fit_group(_clamp_group_cls(
-        group or _auto_group(dim, bwd=True), N, dim, 3 * hd, heads=heads,
+        group or _auto_group(dim, bwd=True, n=N), N, dim, 3 * hd, heads=heads,
         rows=rows, bwd=True,
     ), B)
 
@@ -1775,14 +1802,14 @@ def _block_cls_bwd_split(x, x1, g, ln1_scale, ln1_bias, w_qkv, w_out,
     hd = heads * dim_head
 
     # MLP kernel group: accum 2*dim*mlp fp32 + tiny 8-row tiles
-    gm = _auto_group(dim, bwd=True)
+    gm = _auto_group(dim, bwd=True, n=N)
     per_m = rows * (mlp * 12 + dim * 16)
     acc_m = 2 * dim * mlp * 4
     while gm > 1 and gm * per_m + acc_m > _GROUP_VMEM_BUDGET:
         gm //= 2
     gm = _fit_group(gm, B)
     # attention kernel group: accum (3hd+hd)*dim fp32 + full-length kv tiles
-    ga = _auto_group(dim, bwd=True)
+    ga = _auto_group(dim, bwd=True, n=N)
     per_a = N * (hd * 2 * 6 + dim * 16) + heads * rows * N * 8
     acc_a = (dim * 3 * hd + hd * dim) * 4
     while ga > 1 and ga * per_a + acc_a > _GROUP_VMEM_BUDGET:

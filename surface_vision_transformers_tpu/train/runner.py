@@ -143,6 +143,26 @@ def _device_put(exp: Experiment, arr: np.ndarray, mesh=None):
     return local_batch_to_global(arr, mesh, n_global)
 
 
+def _device_copy(tree):
+    """On-device defensive copy of a state pytree (~1 ms, one dispatch) —
+    the live state is donated into the next epoch's step, so a plain
+    reference would be invalidated."""
+    return jax.jit(lambda t: jax.tree.map(jnp.copy, t))(tree)
+
+
+def _write_best(run_dir: Path, state, meta: dict, trainer: Trainer,
+                is_mpp: bool) -> None:
+    """The best-val checkpoint set: full state + portable params npz (+
+    encoder-only npz for SSL handoff, reference tools/pretrain.py:378-389)."""
+    orbax_io.save_state(run_dir / "best", state, meta)
+    best_p = trainer.eval_params(state)
+    orbax_io.save_params_npz(run_dir / "best_params.npz", {"params": best_p})
+    if is_mpp:
+        orbax_io.save_params_npz(
+            run_dir / "encoder_best_params.npz", {"params": best_p["encoder"]}
+        )
+
+
 def _load_initial_weights(exp: Experiment, trainer: Trainer, state: TrainState):
     """SSL / ImageNet initialization (reference tools/train.py:213-223)."""
     params = state.params
@@ -358,6 +378,7 @@ def _run_training_inner(
 
     best = math.inf
     best_epoch = -1
+    best_snapshot = None
     start_epoch = 0
     is_mpp = trainer.task == "mpp"
     metric_name = "loss" if is_mpp else "mae"
@@ -456,26 +477,18 @@ def _run_training_inner(
                 best, best_epoch = score, epoch
                 t_ck = time.time()
                 if exp.training.save_ckpt:
-                    orbax_io.save_state(
-                        run_dir / "best",
-                        state,
-                        {"epoch": epoch, metric_name: float(score),
-                         "best": float(score), "best_epoch": epoch},
-                    )
-                    # the weights the validation score was measured with —
-                    # the EMA shadow when training.ema > 0
-                    best_p = trainer.eval_params(state)
-                    orbax_io.save_params_npz(
-                        run_dir / "best_params.npz", {"params": best_p}
-                    )
-                    if is_mpp:
-                        # encoder-only export for SSL -> finetune handoff
-                        # (reference saves encoder-best.pt AND
-                        # encoder-decoder-best.pt, tools/pretrain.py:378-389)
-                        orbax_io.save_params_npz(
-                            run_dir / "encoder_best_params.npz",
-                            {"params": best_p["encoder"]},
-                        )
+                    best_meta = {"epoch": epoch, metric_name: float(score),
+                                 "best": float(score), "best_epoch": epoch}
+                    if exp.training.eager_best_ckpt:
+                        # reference behaviour: files land on improvement
+                        # (tools/train.py:361-363) — each save pays a full
+                        # device->host state fetch through the relay
+                        _write_best(run_dir, state, best_meta, trainer,
+                                    is_mpp)
+                        best_snapshot = None
+                    else:
+                        # default: snapshot on device, write once at the end
+                        best_snapshot = (_device_copy(state), best_meta)
                 if not is_mpp and preds is not None:
                     _write_preds_csv(run_dir / "preds.csv", preds, val_labels)
                 phases["ckpt"] += time.time() - t_ck
@@ -496,6 +509,10 @@ def _run_training_inner(
             phases["ckpt"] += time.time() - t_ck
 
     t_ck = time.time()
+    if exp.training.save_ckpt and best_snapshot is not None:
+        # deferred best-val checkpoint (see training.eager_best_ckpt)
+        snap, best_meta = best_snapshot
+        _write_best(run_dir, snap, best_meta, trainer, is_mpp)
     if exp.training.save_ckpt:
         # final state is always recoverable, validation split or not
         # (the reference's pretrain saves final ckpts too,

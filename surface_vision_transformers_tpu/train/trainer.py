@@ -251,20 +251,32 @@ class Trainer:
         rng = jax.random.PRNGKey(seed)
         init_rng, state_rng = jax.random.split(rng)
         mod = self.module()
-        if self.task == "mpp":
-            variables = mod.init(
-                {"params": init_rng}, jnp.asarray(sample_batch[:1]),
-                jax.random.PRNGKey(0),
+        sample = jnp.asarray(sample_batch[:1])
+
+        # ONE jitted computation for model init + optimizer init + EMA seed:
+        # eager flax init dispatches every param op individually (hundreds of
+        # ~60 ms relay round-trips on this host — measured 73 s of recipe
+        # "setup"); compiled it is one dispatch and the compilation cache
+        # makes later runs ~free
+        def build(k, x):
+            if self.task == "mpp":
+                variables = mod.init({"params": k}, x, jax.random.PRNGKey(0))
+            else:
+                variables = mod.init(k, x)
+            params = variables["params"]
+            return (
+                params,
+                self.optimizer.init(params),
+                _seed_ema(params) if self.exp.training.ema > 0 else None,
             )
-        else:
-            variables = mod.init(init_rng, jnp.asarray(sample_batch[:1]))
-        params = variables["params"]
+
+        params, opt_state, ema = jax.jit(build)(init_rng, sample)
         return TrainState(
             params=params,
-            opt_state=self.optimizer.init(params),
+            opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
             rng=state_rng,
-            ema_params=_seed_ema(params) if self.exp.training.ema > 0 else None,
+            ema_params=ema,
         )
 
     def load_params(self, state: TrainState, params) -> TrainState:

@@ -165,6 +165,14 @@ class TrainingConfig:
     # this many epochs (0 = off): preemption insurance — `--resume RUN_DIR`
     # continues the run from it
     ckpt_every: int = 0
+    # write the best-val checkpoint the moment validation improves (the
+    # reference's behaviour, tools/train.py:361-363). Default False DEFERS
+    # the write: improvements snapshot the state on device (~1 ms) and the
+    # files land once at end-of-run — each eager save costs a full
+    # device->host state fetch (~4 s on this host's relay; 10 improvements
+    # paid 77 s of the 100-epoch recipe). Mid-run crash insurance is
+    # ckpt_every's rolling `last`, which carries best-so-far metadata.
+    eager_best_ckpt: bool = False
     epochs: int = 100
     val_epoch: int = 10
     l1loss: bool = False
@@ -372,6 +380,7 @@ def from_dict(raw: dict) -> Experiment:
         grad_accum=int(tr.get("grad_accum", 1)),
         ema=float(tr.get("ema", 0.0)),
         ckpt_every=int(tr.get("ckpt_every", 0)),
+        eager_best_ckpt=bool(tr.get("eager_best_ckpt", False)),
         epochs=int(tr.get("epochs", 100)),
         val_epoch=int(tr.get("val_epoch", 10)),
         l1loss=bool(tr.get("l1loss", False)),
