@@ -6,6 +6,7 @@ import subprocess
 import sys
 from pathlib import Path
 
+import jax
 import numpy as np
 import pytest
 import yaml
@@ -178,3 +179,38 @@ def _flat(tree, prefix=()):
             yield from _flat(v, prefix + (k,))
         else:
             yield prefix + (k,), v
+
+
+def test_deferred_best_ckpt_matches_eager(tmp_path):
+    """The default deferred best-val checkpoint (on-device snapshot,
+    written at end-of-run) produces the SAME best checkpoint set as
+    training.eager_best_ckpt: true (the reference's write-on-improvement
+    law, tools/train.py:361-363) — params bitwise, metadata equal."""
+    from surface_vision_transformers_tpu.checkpoints import orbax_io
+
+    data, labels = make_regression_dataset(
+        32, num_patches=L, num_vertices=V, num_channels=C, seed=0
+    )
+    datasets = {"train": (data[:16], labels[:16]),
+                "validation": (data[16:], labels[16:])}
+    runs = {}
+    for mode in (False, True):
+        res = runner.run_training(
+            from_dict(base_raw(epochs=3, eager_best_ckpt=mode)),
+            datasets=datasets, run_root=tmp_path / f"eager_{mode}",
+            progress=False,
+        )
+        d = Path(res["run_dir"])
+        assert (d / "best").exists() and (d / "best_params.npz").exists()
+        meta = json.loads((d / "best" / "metadata.json").read_text())
+        runs[mode] = (res, orbax_io.load_params_npz(d / "best_params.npz"),
+                      meta)
+    (res_d, p_d, m_d), (res_e, p_e, m_e) = runs[False], runs[True]
+    assert res_d["best_mae"] == res_e["best_mae"]
+    assert m_d == m_e, (m_d, m_e)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p_d)[0],
+        jax.tree_util.tree_flatten_with_path(p_e)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(kp))
